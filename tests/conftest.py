@@ -1,0 +1,28 @@
+"""Test config: run the suite on an 8-virtual-device CPU mesh.
+
+Note: the environment pre-imports jax (sitecustomize) with
+JAX_PLATFORMS=axon pointing at a tunneled TPU, so setting env vars here is
+not enough — override through jax.config before any backend initializes.
+"""
+
+import os
+
+# XLA_FLAGS is read when the CPU client is created (lazily), so this still
+# takes effect even though jax is already imported.
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+# persistent compile cache makes repeat test runs fast
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+assert jax.default_backend() == "cpu", jax.default_backend()
+assert len(jax.devices()) == 8, jax.devices()

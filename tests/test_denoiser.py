@@ -1,0 +1,134 @@
+"""Denoiser model tests — mirrors reference tests/test_diffuser.py
+(test_denoiser_outputs) plus numerics checks the reference lacks."""
+
+import time
+from dataclasses import asdict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from transformer_latent_diffusion_tpu.configs import DenoiserConfig
+from transformer_latent_diffusion_tpu.models import (
+    Denoiser,
+    patchify,
+    resize_pos_embed,
+    sinusoidal_embedding,
+    unpatchify,
+)
+
+denoiser_cfg = DenoiserConfig(n_channels=4)
+
+
+from transformer_latent_diffusion_tpu.utils import init_denoiser_params
+
+
+def _init_model(cfg: DenoiserConfig, seed: int = 0):
+    model = Denoiser(**asdict(cfg))
+    return model, init_denoiser_params(model, cfg, seed)
+
+
+def test_denoiser_outputs(num_imgs=4):
+    cfg = denoiser_cfg
+    model, params = _init_model(cfg)
+
+    n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
+    print(f"Model has {n_params} parameters")
+
+    key = jax.random.PRNGKey(42)
+    k1, k2, k3 = jax.random.split(key, 3)
+    x = jax.random.uniform(k1, (num_imgs, cfg.n_channels, cfg.image_size, cfg.image_size))
+    noise_level = jax.random.uniform(k2, (num_imgs, 1))
+    label = jax.random.uniform(k3, (num_imgs, cfg.text_emb_size))
+
+    fwd = jax.jit(lambda p, *a: model.apply({"params": p}, *a))
+    start = time.time()
+    out = jax.block_until_ready(fwd(params, x, noise_level, label))
+    print(f"Model execution took {time.time() - start:.4f} seconds.")
+
+    assert out.shape == (num_imgs, cfg.n_channels, cfg.image_size, cfg.image_size)
+    assert jnp.isfinite(out).all()
+
+
+def test_denoiser_param_count_101m():
+    """The flagship config must land at ~101M params like the reference
+    (README.md:161; 12 layers, d=768, patch 2, 32x32x4 latent)."""
+    cfg = DenoiserConfig(
+        image_size=32, noise_embed_dims=256, patch_size=2, embed_dim=768,
+        dropout=0, n_layers=12, text_emb_size=768,
+    )
+    model = Denoiser(**asdict(cfg))
+    shapes = jax.eval_shape(
+        model.init,
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, cfg.n_channels, cfg.image_size, cfg.image_size)),
+        jnp.zeros((1, 1)),
+        jnp.zeros((1, cfg.text_emb_size)),
+    )["params"]
+    n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(shapes))
+    assert 95e6 < n_params < 110e6, n_params
+
+
+def test_patchify_roundtrip():
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 4, 16, 16))
+    tokens = patchify(x, 2)
+    assert tokens.shape == (2, 64, 16)
+    x2 = unpatchify(tokens, 2, 8, 8, 4)
+    np.testing.assert_allclose(np.asarray(x), np.asarray(x2))
+
+
+def test_sinusoidal_embedding_matches_reference_math():
+    dims = 256
+    x = np.random.default_rng(0).uniform(size=(4, 1)).astype(np.float32)
+    got = np.asarray(sinusoidal_embedding(jnp.asarray(x), dims))
+    freqs = np.exp(np.linspace(np.log(1.0), np.log(1000.0), dims // 2))
+    ang = (2.0 * np.pi * freqs).astype(np.float32)
+    arg = (ang * x).astype(np.float32)  # f32 like the on-device op
+    want = np.concatenate([np.sin(arg), np.cos(arg)], axis=-1)
+    # residual tolerance covers f32 sin/cos argument-reduction differences
+    np.testing.assert_allclose(got, want, atol=3e-3)
+
+
+def test_variable_seq_len_pos_slice():
+    """The pos table is sliced for smaller inputs (reference denoiser.py:76)."""
+    cfg = DenoiserConfig(image_size=16)
+    model, params = _init_model(cfg)
+    x = jnp.ones((1, 4, 8, 8))  # smaller than cfg.image_size
+    out = jax.jit(lambda p, *a: model.apply({"params": p}, *a))(
+        params, x, jnp.ones((1, 1)) * 0.5, jnp.ones((1, cfg.text_emb_size)))
+    assert out.shape == (1, 4, 8, 8)
+
+
+def test_pos_embed_resize_for_highres():
+    cfg = DenoiserConfig(image_size=16)
+    model, params = _init_model(cfg)
+    old_grid = cfg.image_size // cfg.patch_size
+    new_grid = 2 * old_grid
+    table = params["denoiser_trans_block"]["pos_embed"]
+    big = resize_pos_embed(table, old_grid, new_grid)
+    assert big.shape == (new_grid * new_grid, cfg.embed_dim)
+    x = jnp.ones((1, 4, 32, 32))
+    out = jax.jit(
+        lambda p, *a: model.apply({"params": p}, *a, pos_embed_override=big)
+    )(params, x, jnp.ones((1, 1)) * 0.5, jnp.ones((1, cfg.text_emb_size)))
+    assert out.shape == (1, 4, 32, 32)
+
+
+def test_dropout_paths():
+    cfg = DenoiserConfig(dropout=0.5)
+    model, params = _init_model(cfg)
+    x = jnp.ones((2, 4, cfg.image_size, cfg.image_size))
+    noise = jnp.ones((2, 1)) * 0.3
+    label = jnp.ones((2, cfg.text_emb_size))
+    out_det = jax.jit(
+        lambda p, *a: model.apply({"params": p}, *a, deterministic=True)
+    )(params, x, noise, label)
+    out_train = jax.jit(
+        lambda p, *a: model.apply(
+            {"params": p}, *a, deterministic=False,
+            rngs={"dropout": jax.random.PRNGKey(1)},
+        )
+    )(params, x, noise, label)
+    assert out_det.shape == out_train.shape
+    assert not np.allclose(np.asarray(out_det), np.asarray(out_train))

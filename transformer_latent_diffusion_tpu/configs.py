@@ -1,0 +1,189 @@
+"""Configuration dataclasses for the TPU-native latent-diffusion framework.
+
+API-parity goal: same dataclass names / field names / defaults as the
+reference configs (see /root/reference/tld/configs.py:1-97), with torch
+dtype fields replaced by jnp dtypes and a few TPU-specific knobs added
+(mesh shape, pallas toggles) that default to reference-equivalent
+behaviour.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import asdict, dataclass, field
+from typing import Any, Optional, Tuple
+
+import jax.numpy as jnp
+
+# dtypes are stored as strings in configs so they JSON round-trip
+# (reference stores torch.dtype objects; README documents JSON round-trip).
+_DTYPE_MAP = {
+    "float32": jnp.float32,
+    "float16": jnp.float16,
+    "bfloat16": jnp.bfloat16,
+}
+
+
+def resolve_dtype(dtype: Any):
+    """Accept a jnp dtype, numpy dtype or string and return the jnp dtype."""
+    if isinstance(dtype, str):
+        return _DTYPE_MAP[dtype]
+    return jnp.dtype(dtype).type if not hasattr(dtype, "dtype") else dtype
+
+
+@dataclass
+class DataDownloadConfig:
+    """Config for downloading and processing latents.
+
+    Parity: reference configs.py:5-19.
+    """
+
+    data_link: str
+    caption_col: str = "caption"
+    url_col: str = "url"
+    latent_save_path: str = "latents_folder"
+    raw_imgs_save_path: str = "raw_imgs_folder"
+    use_drive: bool = False
+    initial_csv_path: str = "imgs.csv"
+    number_sample_per_shard: int = 10000
+    image_size: int = 256
+    batch_size: int = 64
+    download_data: bool = True
+    first_n_rows: int = 1000000
+    use_wandb: bool = False
+    # TPU additions: shard the encode stage across hosts.
+    process_index: int = 0
+    process_count: int = 1
+
+
+@dataclass
+class DenoiserConfig:
+    """Parity: reference configs.py:21-31 (same defaults: tiny model)."""
+
+    image_size: int = 16
+    noise_embed_dims: int = 256
+    patch_size: int = 2
+    embed_dim: int = 128
+    dropout: float = 0
+    n_layers: int = 3
+    text_emb_size: int = 768
+    n_channels: int = 4
+    mlp_multiplier: int = 4
+
+
+@dataclass
+class DenoiserLoad:
+    """Parity: reference configs.py:33-37 (torch.dtype -> dtype string)."""
+
+    dtype: str = "float32"
+    file_url: Optional[str] = None
+    local_filename: Optional[str] = None
+
+
+@dataclass
+class VaeConfig:
+    """Parity: reference configs.py:39-43."""
+
+    vae_scale_factor: float = 8
+    vae_name: str = "madebyollin/sdxl-vae-fp16-fix"
+    vae_dtype: str = "float32"
+    # TPU addition: path to converted flax weights (msgpack/npz) or a torch
+    # diffusers state_dict (.pth/.safetensors). If None, the VAE
+    # random-initializes (useful for hermetic tests; matches the reference
+    # test strategy of untrained towers where weights are unavailable).
+    weights_path: Optional[str] = None
+    # architecture knobs (defaults = sdxl-vae-fp16-fix); tests shrink these
+    block_out_channels: Tuple[int, ...] = (128, 256, 512, 512)
+    layers_per_block: int = 2
+    latent_channels: int = 4
+
+
+@dataclass
+class ClipConfig:
+    """Parity: reference configs.py:45-48."""
+
+    clip_model_name: str = "ViT-L/14"
+    clip_dtype: str = "float16"
+    weights_path: Optional[str] = None
+    vocab_path: Optional[str] = None  # CLIP BPE vocab (gzip) if available
+    # text-tower architecture (defaults = ViT-L/14 text transformer)
+    width: int = 768
+    heads: int = 12
+    layers: int = 12
+    embed_dim: int = 768
+
+
+@dataclass
+class DataConfig:
+    """Where the latent data is stored. Parity: reference configs.py:50-55."""
+
+    latent_path: str
+    text_emb_path: str
+    val_path: str
+
+
+@dataclass
+class TrainConfig:
+    """Parity: reference configs.py:57-72, plus TPU mesh knobs."""
+
+    batch_size: int = 128
+    lr: float = 3e-4
+    n_epoch: int = 100
+    alpha: float = 0.999
+    from_scratch: bool = True
+    # betas determine the distribution of noise seen during training
+    beta_a: float = 1
+    beta_b: float = 2.5
+    save_and_eval_every_iters: int = 1000
+    run_id: str = ""
+    model_name: str = ""
+    compile: bool = True  # kept for parity; JAX always jits — False disables donation
+    save_model: bool = True
+    use_wandb: bool = False  # reference default True; wandb absent here -> gated
+    # --- TPU-native additions ---
+    mesh_shape: Optional[Tuple[int, int]] = None  # (data, model); None = all-data
+    param_dtype: str = "float32"
+    compute_dtype: str = "bfloat16"
+    grad_accum_steps: int = 1
+    checkpoint_dir: str = "checkpoints"
+    seed: int = 0
+
+
+@dataclass
+class LTDConfig:
+    """Main config for inference. Parity: reference configs.py:75-81."""
+
+    denoiser_cfg: DenoiserConfig = field(default_factory=DenoiserConfig)
+    denoiser_load: DenoiserLoad = field(default_factory=DenoiserLoad)
+    vae_cfg: VaeConfig = field(default_factory=VaeConfig)
+    clip_cfg: ClipConfig = field(default_factory=ClipConfig)
+    use_pallas: bool = True  # fused Pallas attention on TPU (auto-falls back on CPU)
+
+
+@dataclass
+class ModelConfig:
+    """Main config for getting data, training and inference.
+
+    Parity: reference configs.py:84-92.
+    """
+
+    data_config: DataConfig
+    download_config: Optional[DataDownloadConfig] = None
+    denoiser_config: DenoiserConfig = field(default_factory=DenoiserConfig)
+    train_config: TrainConfig = field(default_factory=TrainConfig)
+    vae_cfg: VaeConfig = field(default_factory=VaeConfig)
+    clip_cfg: ClipConfig = field(default_factory=ClipConfig)
+
+
+def config_to_json(cfg) -> str:
+    return json.dumps(asdict(cfg))
+
+
+def denoiser_config_from_json(path: str) -> DenoiserConfig:
+    """JSON round-trip used by the reference README (README.md:122)."""
+    with open(path) as f:
+        return DenoiserConfig(**json.load(f))
+
+
+if __name__ == "__main__":
+    print(LTDConfig())

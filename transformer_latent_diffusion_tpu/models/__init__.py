@@ -1,0 +1,15 @@
+from transformer_latent_diffusion_tpu.models.blocks import (  # noqa: F401
+    DecoderBlock,
+    MLP,
+    MLPSepConv,
+    SelfAttention,
+    CrossAttention,
+    sinusoidal_embedding,
+)
+from transformer_latent_diffusion_tpu.models.denoiser import (  # noqa: F401
+    Denoiser,
+    DenoiserTransBlock,
+    patchify,
+    resize_pos_embed,
+    unpatchify,
+)

@@ -1,0 +1,186 @@
+"""Transformer-based denoiser (Flax linen), TPU-first.
+
+Capability parity with the reference model layer
+(/root/reference/tld/denoiser.py): patchify -> learned positional
+embedding -> N DiT decoder blocks -> unpatchify, conditioned on a 2-token
+(noise, text) sequence. TPU-first design choices: patchify is a pure
+reshape + matmul (no conv — it lands on the MXU as one big GEMM), the
+positional table is sliced for shorter sequences and can be 2D-resized for
+high-res generation, and compute runs in a configurable dtype (bf16 on TPU).
+Public array layout matches the reference API: latents are NCHW.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from transformer_latent_diffusion_tpu.models.blocks import (
+    LN_EPS,
+    DecoderBlock,
+    MLPSepConv,
+    _gelu,
+    sinusoidal_embedding,
+)
+
+
+def patchify(x: jax.Array, patch_size: int) -> jax.Array:
+    """(B, C, H, W) -> (B, h*w, C*p*p) with (c, p1, p2) flatten order.
+
+    The (c, p1, p2) order matches the reference's conv-patchify weight
+    layout (denoiser.py:34-45) so converted torch weights drop in.
+    """
+    b, c, hh, ww = x.shape
+    p = patch_size
+    h, w = hh // p, ww // p
+    x = x.reshape(b, c, h, p, w, p)
+    x = x.transpose(0, 2, 4, 1, 3, 5)  # (b, h, w, c, p1, p2)
+    return x.reshape(b, h * w, c * p * p)
+
+
+def unpatchify(x: jax.Array, patch_size: int, h: int, w: int, n_channels: int) -> jax.Array:
+    """(B, h*w, C*p*p) -> (B, C, H, W); inverse of `patchify`.
+
+    Parity: reference rearrange "b (h w) (c p1 p2) -> b c (h p1) (w p2)"
+    (denoiser.py:47-52).
+    """
+    b = x.shape[0]
+    p = patch_size
+    x = x.reshape(b, h, w, n_channels, p, p)
+    x = x.transpose(0, 3, 1, 4, 2, 5)  # (b, c, h, p1, w, p2)
+    return x.reshape(b, n_channels, h * p, w * p)
+
+
+class DenoiserTransBlock(nn.Module):
+    """Patchify + pos-embed + DiT stack + unpatchify.
+
+    Parity: reference DenoiserTransBlock (denoiser.py:10-82).
+    """
+
+    patch_size: int
+    img_size: int
+    embed_dim: int
+    dropout: float
+    n_layers: int
+    mlp_multiplier: int = 4
+    n_channels: int = 4
+    use_pallas: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, cond, deterministic: bool = True,
+                 pos_embed_override: Optional[jax.Array] = None):
+        p = self.patch_size
+        b, c, hh, ww = x.shape
+        h, w = hh // p, ww // p
+        seq_len = (self.img_size // p) ** 2
+        patch_dim = self.n_channels * p * p
+
+        tokens = patchify(x, p).astype(self.dtype)
+        # conv-patchify == per-patch linear; LN -> Dense -> LN as reference
+        tokens = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name="patch_norm1")(
+            nn.Dense(patch_dim, dtype=self.dtype, name="patch_proj")(tokens)
+        )
+        tokens = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name="patch_norm2")(
+            nn.Dense(self.embed_dim, dtype=self.dtype, name="embed_proj")(tokens)
+        )
+
+        pos_table = self.param(
+            "pos_embed",
+            nn.initializers.normal(stddev=1.0),
+            (seq_len, self.embed_dim),
+        )
+        if pos_embed_override is not None:
+            # high-res path: caller passes a 2D-resized table (see
+            # resize_pos_embed); shape (h*w, embed_dim)
+            pos = pos_embed_override
+        else:
+            # slice for shorter sequences, like the reference's
+            # precomputed_pos_enc[: x.size(1)] (denoiser.py:76)
+            pos = jax.lax.slice_in_dim(pos_table, 0, h * w, axis=0)
+        tokens = tokens + pos.astype(self.dtype)[None, :, :]
+
+        for i in range(self.n_layers):
+            tokens = DecoderBlock(
+                embed_dim=self.embed_dim,
+                mlp_multiplier=self.mlp_multiplier,
+                dropout_level=self.dropout,
+                mlp_class=MLPSepConv,
+                use_pallas=self.use_pallas,
+                dtype=self.dtype,
+                name=f"decoder_block_{i}",
+            )(tokens, cond, deterministic=deterministic)
+
+        out = nn.Dense(patch_dim, dtype=self.dtype, name="out_proj")(tokens)
+        return unpatchify(out.astype(jnp.float32), p, h, w, self.n_channels)
+
+
+class Denoiser(nn.Module):
+    """Top-level denoiser. Parity: reference Denoiser (denoiser.py:85-126).
+
+    __call__(x, noise_level, label):
+      x           (B, n_channels, S, S) noisy latent
+      noise_level (B, 1) in (0, 1)
+      label       (B, text_emb_size) pooled CLIP text embedding
+    returns x0 prediction, same shape as x.
+    """
+
+    image_size: int
+    noise_embed_dims: int
+    patch_size: int
+    embed_dim: int
+    dropout: float
+    n_layers: int
+    text_emb_size: int = 768
+    mlp_multiplier: int = 4
+    n_channels: int = 4
+    use_pallas: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, noise_level, label, deterministic: bool = True,
+                 pos_embed_override: Optional[jax.Array] = None):
+        noise_level = noise_level.astype(self.dtype)
+        # fourier_feats: SinusoidalEmbedding -> Dense -> GELU -> Dense
+        nemb = sinusoidal_embedding(noise_level, self.noise_embed_dims)
+        nemb = nn.Dense(self.embed_dim, dtype=self.dtype, name="fourier_dense1")(nemb)
+        nemb = _gelu(nemb)
+        nemb = nn.Dense(self.embed_dim, dtype=self.dtype, name="fourier_dense2")(nemb)
+
+        lemb = nn.Dense(self.embed_dim, dtype=self.dtype, name="label_proj")(
+            label.astype(self.dtype)
+        )
+
+        cond = jnp.stack([nemb, lemb], axis=1)  # (B, 2, d)
+        cond = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name="cond_norm")(cond)
+
+        return DenoiserTransBlock(
+            patch_size=self.patch_size,
+            img_size=self.image_size,
+            embed_dim=self.embed_dim,
+            dropout=self.dropout,
+            n_layers=self.n_layers,
+            mlp_multiplier=self.mlp_multiplier,
+            n_channels=self.n_channels,
+            use_pallas=self.use_pallas,
+            dtype=self.dtype,
+            name="denoiser_trans_block",
+        )(x, cond, deterministic=deterministic,
+          pos_embed_override=pos_embed_override)
+
+
+def resize_pos_embed(pos_table: jax.Array, old_grid: int, new_grid: int) -> jax.Array:
+    """2D-resize a learned positional table for high-res generation.
+
+    The reference documents pos-embed upsampling for 512/1024 px
+    (README.md:22-26) but implements it in external notebooks; here it is a
+    first-class op: (old², d) -> reshape to grid -> bilinear resize ->
+    (new², d).
+    """
+    d = pos_table.shape[-1]
+    grid = pos_table.reshape(old_grid, old_grid, d)
+    resized = jax.image.resize(grid, (new_grid, new_grid, d), method="bilinear")
+    return resized.reshape(new_grid * new_grid, d)

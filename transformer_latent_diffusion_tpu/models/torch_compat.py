@@ -1,0 +1,232 @@
+"""Torch -> Flax weight converters.
+
+Lets this framework load:
+  * the published reference denoiser checkpoints (e.g. the 101M
+    `state_dict_378000.pth` from huggingface.co/apapiu/small_ldt referenced
+    in /root/reference/tests/test_diffuser.py:138) into our Flax Denoiser,
+  * a diffusers `AutoencoderKL` state_dict into our Flax VAE,
+  * an openai CLIP state_dict (text side) into our Flax text tower.
+
+torch is only imported lazily — the framework itself never depends on it.
+All conversions are pure layout transforms (transpose Linear weights,
+HWIO-ify convs); numerics are asserted by tests/test_torch_parity.py.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import numpy as np
+
+
+def _np(t) -> np.ndarray:
+    return np.asarray(t.detach().cpu().numpy() if hasattr(t, "detach") else t,
+                      dtype=np.float32)
+
+
+def _linear(sd, name):
+    out = {"kernel": _np(sd[f"{name}.weight"]).T}
+    if f"{name}.bias" in sd:
+        out["bias"] = _np(sd[f"{name}.bias"])
+    return out
+
+
+def _ln(sd, name):
+    return {"scale": _np(sd[f"{name}.weight"]), "bias": _np(sd[f"{name}.bias"])}
+
+
+def _conv(sd, name):
+    # torch OIHW -> flax HWIO
+    w = _np(sd[f"{name}.weight"]).transpose(2, 3, 1, 0)
+    return {"kernel": w, "bias": _np(sd[f"{name}.bias"])}
+
+
+def _strip_prefix(sd: Dict[str, Any]) -> Dict[str, Any]:
+    # torch.compile checkpoints carry an `_orig_mod.` prefix
+    return { (k[len("_orig_mod."):] if k.startswith("_orig_mod.") else k): v
+             for k, v in sd.items() }
+
+
+def convert_torch_denoiser_state_dict(sd: Dict[str, Any], cfg) -> Dict[str, Any]:
+    """Reference `Denoiser` torch state_dict -> our Flax param tree.
+
+    cfg: DenoiserConfig (for patch/channel shapes).
+    """
+    sd = _strip_prefix(sd)
+    p = cfg.patch_size
+    c = cfg.n_channels
+    patch_dim = c * p * p
+
+    params: Dict[str, Any] = {
+        "fourier_dense1": _linear(sd, "fourier_feats.1"),
+        "fourier_dense2": _linear(sd, "fourier_feats.3"),
+        "label_proj": _linear(sd, "label_proj"),
+        "cond_norm": _ln(sd, "norm"),
+    }
+
+    tb: Dict[str, Any] = {}
+    # patchify conv (patch_dim, C, p, p) == per-patch linear over (c,p1,p2)
+    conv_w = _np(sd["denoiser_trans_block.patchify_and_embed.0.weight"])
+    tb["patch_proj"] = {
+        "kernel": conv_w.reshape(patch_dim, patch_dim).T,
+        "bias": _np(sd["denoiser_trans_block.patchify_and_embed.0.bias"]),
+    }
+    tb["patch_norm1"] = _ln(sd, "denoiser_trans_block.patchify_and_embed.2")
+    tb["embed_proj"] = _linear(sd, "denoiser_trans_block.patchify_and_embed.3")
+    tb["patch_norm2"] = _ln(sd, "denoiser_trans_block.patchify_and_embed.4")
+    tb["pos_embed"] = _np(sd["denoiser_trans_block.pos_embed.weight"])
+
+    i = 0
+    while f"denoiser_trans_block.decoder_blocks.{i}.norm1.weight" in sd:
+        base = f"denoiser_trans_block.decoder_blocks.{i}"
+        hidden_w = _np(sd[f"{base}.mlp.mlp.0.weight"])  # (hidden, d, 1, 1)
+        dw_w = _np(sd[f"{base}.mlp.mlp.1.weight"])      # (hidden, 1, 3, 3)
+        out_w = _np(sd[f"{base}.mlp.mlp.3.weight"])     # (d, hidden, 1, 1)
+        tb[f"decoder_block_{i}"] = {
+            "self_attention": {"qkv_linear": _linear(sd, f"{base}.self_attention.qkv_linear")},
+            "cross_attention": {
+                "q_linear": _linear(sd, f"{base}.cross_attention.q_linear"),
+                "kv_linear": _linear(sd, f"{base}.cross_attention.kv_linear"),
+            },
+            "mlp": {
+                "expand": {
+                    "kernel": hidden_w[:, :, 0, 0].T,
+                    "bias": _np(sd[f"{base}.mlp.mlp.0.bias"]),
+                },
+                "depthwise": {
+                    "kernel": dw_w.transpose(2, 3, 1, 0),  # (3,3,1,hidden)
+                    "bias": _np(sd[f"{base}.mlp.mlp.1.bias"]),
+                },
+                "contract": {
+                    "kernel": out_w[:, :, 0, 0].T,
+                    "bias": _np(sd[f"{base}.mlp.mlp.3.bias"]),
+                },
+            },
+            "norm1": _ln(sd, f"{base}.norm1"),
+            "norm2": _ln(sd, f"{base}.norm2"),
+            "norm3": _ln(sd, f"{base}.norm3"),
+        }
+        i += 1
+
+    tb["out_proj"] = _linear(sd, "denoiser_trans_block.out_proj.0")
+    params["denoiser_trans_block"] = tb
+    return params
+
+
+# ------------------------------ VAE ----------------------------------------
+
+
+def convert_torch_vae_state_dict(sd: Dict[str, Any], block_out_channels,
+                                 layers_per_block: int) -> Dict[str, Any]:
+    """diffusers AutoencoderKL state_dict -> our Flax param tree."""
+    sd = _strip_prefix(sd)
+
+    def _gn(name):
+        return _ln(sd, name)
+
+    def resnet(src, has_shortcut):
+        out = {
+            "norm1": _gn(f"{src}.norm1"),
+            "conv1": _conv(sd, f"{src}.conv1"),
+            "norm2": _gn(f"{src}.norm2"),
+            "conv2": _conv(sd, f"{src}.conv2"),
+        }
+        if has_shortcut:
+            out["conv_shortcut"] = _conv(sd, f"{src}.conv_shortcut")
+        return out
+
+    def mid(src):
+        return {
+            "resnet_0": resnet(f"{src}.resnets.0", False),
+            "resnet_1": resnet(f"{src}.resnets.1", False),
+            "attn": {
+                "group_norm": _gn(f"{src}.attentions.0.group_norm"),
+                "to_q": _linear(sd, f"{src}.attentions.0.to_q"),
+                "to_k": _linear(sd, f"{src}.attentions.0.to_k"),
+                "to_v": _linear(sd, f"{src}.attentions.0.to_v"),
+                "to_out": _linear(sd, f"{src}.attentions.0.to_out.0"),
+            },
+        }
+
+    enc: Dict[str, Any] = {"conv_in": _conv(sd, "encoder.conv_in")}
+    prev_ch = block_out_channels[0]
+    for i, ch in enumerate(block_out_channels):
+        for j in range(layers_per_block):
+            has_sc = f"encoder.down_blocks.{i}.resnets.{j}.conv_shortcut.weight" in sd
+            enc[f"down_{i}_resnet_{j}"] = resnet(
+                f"encoder.down_blocks.{i}.resnets.{j}", has_sc)
+        if f"encoder.down_blocks.{i}.downsamplers.0.conv.weight" in sd:
+            enc[f"down_{i}_downsample"] = {
+                "conv": _conv(sd, f"encoder.down_blocks.{i}.downsamplers.0.conv")}
+        prev_ch = ch
+    enc["mid_block"] = mid("encoder.mid_block")
+    enc["conv_norm_out"] = _gn("encoder.conv_norm_out")
+    enc["conv_out"] = _conv(sd, "encoder.conv_out")
+
+    dec: Dict[str, Any] = {"conv_in": _conv(sd, "decoder.conv_in")}
+    dec["mid_block"] = mid("decoder.mid_block")
+    n_up = len(block_out_channels)
+    for i in range(n_up):
+        for j in range(layers_per_block + 1):
+            has_sc = f"decoder.up_blocks.{i}.resnets.{j}.conv_shortcut.weight" in sd
+            dec[f"up_{i}_resnet_{j}"] = resnet(
+                f"decoder.up_blocks.{i}.resnets.{j}", has_sc)
+        if f"decoder.up_blocks.{i}.upsamplers.0.conv.weight" in sd:
+            dec[f"up_{i}_upsample"] = {
+                "conv": _conv(sd, f"decoder.up_blocks.{i}.upsamplers.0.conv")}
+    dec["conv_norm_out"] = _gn("decoder.conv_norm_out")
+    dec["conv_out"] = _conv(sd, "decoder.conv_out")
+
+    return {
+        "encoder": enc,
+        "decoder": dec,
+        "quant_conv": _conv(sd, "quant_conv"),
+        "post_quant_conv": _conv(sd, "post_quant_conv"),
+    }
+
+
+def load_vae_params(path: str, vae_cfg):
+    import torch
+
+    sd = torch.load(path, map_location="cpu")
+    if hasattr(sd, "state_dict"):
+        sd = sd.state_dict()
+    return convert_torch_vae_state_dict(
+        sd, vae_cfg.block_out_channels, vae_cfg.layers_per_block)
+
+
+# ------------------------------ CLIP ---------------------------------------
+
+
+def convert_torch_clip_state_dict(sd: Dict[str, Any], layers: int) -> Dict[str, Any]:
+    """openai CLIP state_dict (text tower only) -> our Flax param tree."""
+    sd = _strip_prefix(sd)
+    params: Dict[str, Any] = {
+        "token_embedding": {"embedding": _np(sd["token_embedding.weight"])},
+        "positional_embedding": _np(sd["positional_embedding"]),
+        "ln_final": _ln(sd, "ln_final"),
+        "text_projection": _np(sd["text_projection"]),
+    }
+    for i in range(layers):
+        base = f"transformer.resblocks.{i}"
+        params[f"resblock_{i}"] = {
+            "ln_1": _ln(sd, f"{base}.ln_1"),
+            "attn_in_proj": {
+                "kernel": _np(sd[f"{base}.attn.in_proj_weight"]).T,
+                "bias": _np(sd[f"{base}.attn.in_proj_bias"]),
+            },
+            "attn_out_proj": _linear(sd, f"{base}.attn.out_proj"),
+            "ln_2": _ln(sd, f"{base}.ln_2"),
+            "mlp_c_fc": _linear(sd, f"{base}.mlp.c_fc"),
+            "mlp_c_proj": _linear(sd, f"{base}.mlp.c_proj"),
+        }
+    return params
+
+
+def load_clip_params(path: str, clip_cfg):
+    import torch
+
+    sd = torch.load(path, map_location="cpu")
+    if hasattr(sd, "state_dict"):
+        sd = sd.state_dict()
+    return convert_torch_clip_state_dict(sd, clip_cfg.layers)

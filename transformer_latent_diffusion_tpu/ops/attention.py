@@ -1,0 +1,157 @@
+"""Attention ops: Pallas fused flash-attention kernel for TPU + XLA fallback.
+
+The reference reaches fused attention through
+`torch.nn.functional.scaled_dot_product_attention`
+(/root/reference/tld/transformer_blocks.py:37). Here the TPU-native
+equivalent is a Pallas kernel that keeps the (N, N) score matrix in VMEM
+with float32 accumulation, fused softmax, and bf16-friendly tiling.
+
+Shapes in this framework are (batch, seq, dim) at module level and
+(batch, heads, seq, head_dim) inside the op. Denoiser sequence lengths are
+small-to-medium (64..4096 tokens), so each (batch, head) slice's K/V fits
+comfortably in VMEM; the kernel tiles over query blocks only.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _xla_attention(q: jax.Array, k: jax.Array, v: jax.Array) -> jax.Array:
+    """Reference-path attention in pure XLA (always correct, differentiable).
+
+    q: (B, H, Nq, Dh), k/v: (B, H, Nk, Dh). Softmax in float32.
+    """
+    dh = q.shape[-1]
+    scale = 1.0 / jnp.sqrt(jnp.asarray(dh, dtype=jnp.float32))
+    s = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
+    s = s * scale
+    p = jax.nn.softmax(s, axis=-1)
+    out = jnp.einsum("bhqk,bhkd->bhqd", p.astype(v.dtype), v)
+    return out
+
+
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float):
+    """One (batch*head, q-block) program: full K/V in VMEM, f32 softmax."""
+    q = q_ref[0].astype(jnp.float32)  # (bq, dh)
+    k = k_ref[0].astype(jnp.float32)  # (nk, dh)
+    v = v_ref[0]                      # (nk, dh)
+
+    s = jax.lax.dot_general(
+        q, k,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale                         # (bq, nk)
+
+    m = jnp.max(s, axis=-1, keepdims=True)
+    e = jnp.exp(s - m)
+    z = jnp.sum(e, axis=-1, keepdims=True)
+    p = e / z
+
+    out = jax.lax.dot_general(
+        p.astype(jnp.float32), v.astype(jnp.float32),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    o_ref[0] = out.astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("q_block",))
+def _pallas_attention(q: jax.Array, k: jax.Array, v: jax.Array, q_block: int = 256):
+    """Fused attention via Pallas. q/k/v: (B, H, N, Dh) with modest N."""
+    b, h, nq, dh = q.shape
+    nk = k.shape[2]
+    bh = b * h
+    q_block = min(q_block, nq)
+
+    qf = q.reshape(bh, nq, dh)
+    kf = k.reshape(bh, nk, dh)
+    vf = v.reshape(bh, nk, dh)
+
+    scale = 1.0 / (dh ** 0.5)
+    grid = (bh, pl.cdiv(nq, q_block))
+
+    out = pl.pallas_call(
+        functools.partial(_flash_kernel, scale=scale),
+        out_shape=jax.ShapeDtypeStruct((bh, nq, dh), q.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, q_block, dh), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nk, dh), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nk, dh), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, q_block, dh), lambda i, j: (i, j, 0),
+                               memory_space=pltpu.VMEM),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * bh * nq * nk * dh,
+            bytes_accessed=(qf.size + kf.size + vf.size) * qf.dtype.itemsize * 2,
+            transcendentals=bh * nq * nk,
+        ),
+    )(qf, kf, vf)
+    return out.reshape(b, h, nq, dh)
+
+
+def _pallas_ok(q: jax.Array, k: jax.Array) -> bool:
+    if jax.default_backend() not in ("tpu", "axon"):
+        return False
+    nq, dh = q.shape[-2], q.shape[-1]
+    nk = k.shape[-2]
+    # Tiny K/V sequences (length-2 cross-attention) are plain matmuls;
+    # sublane tiling also wants >=8 rows.
+    return nk >= 8 and nq >= 8 and dh % 8 == 0
+
+
+@jax.custom_vjp
+def _attention_core(q, k, v):
+    if _pallas_ok(q, k):
+        return _pallas_attention(q, k, v)
+    return _xla_attention(q, k, v)
+
+
+def _attention_fwd(q, k, v):
+    return _attention_core(q, k, v), (q, k, v)
+
+
+def _attention_bwd(res, g):
+    # Backward recomputes via the XLA path (fully fused by XLA on TPU).
+    q, k, v = res
+    _, vjp = jax.vjp(_xla_attention, q, k, v)
+    return vjp(g)
+
+
+_attention_core.defvjp(_attention_fwd, _attention_bwd)
+
+
+def multi_head_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    n_heads: int,
+    use_pallas: bool = False,
+) -> jax.Array:
+    """Headsplit + scaled-dot-product attention + merge.
+
+    Parity with reference MHAttention (transformer_blocks.py:24-48):
+    non-causal, no mask. q/k/v: (B, N, D) -> (B, N, D).
+    """
+    b, nq, d = q.shape
+    nk = k.shape[1]
+    dh = d // n_heads
+    qh = q.reshape(b, nq, n_heads, dh).transpose(0, 2, 1, 3)
+    kh = k.reshape(b, nk, n_heads, dh).transpose(0, 2, 1, 3)
+    vh = v.reshape(b, nk, n_heads, dh).transpose(0, 2, 1, 3)
+
+    if use_pallas:
+        out = _attention_core(qh, kh, vh)
+    else:
+        out = _xla_attention(qh, kh, vh)
+
+    return out.transpose(0, 2, 1, 3).reshape(b, nq, d)

@@ -1,0 +1,102 @@
+"""Device mesh + sharding rules: the TPU-native replacement for the
+reference's Accelerate/DDP distributed layer (train.py:69,109,141,162,169).
+
+The reference's entire distributed story is data parallelism over NCCL.
+Here: a `jax.sharding.Mesh` over ('data', 'model'); the batch shards over
+'data' (pure DP parity with the reference) and, beyond reference
+capability, Megatron-style tensor parallelism over 'model' for the wide
+matmuls (QKV / MLP expand column-sharded, out-proj / contract row-sharded)
+with XLA inserting the all-reduces over ICI.
+
+Multi-host: `initialize_distributed()` wraps `jax.distributed.initialize`
+(DCN), replacing the reference's process-spawn launcher.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def initialize_distributed() -> None:
+    """Initialize JAX multi-host (idempotent; no-op for single process).
+
+    Replaces Accelerate's process-group setup. Controlled by the standard
+    JAX coordinator env vars; safe to call unconditionally.
+    """
+    if jax.process_count() > 1:
+        return  # already initialized
+    addr = os.environ.get("JAX_COORDINATOR_ADDRESS")
+    if addr:
+        jax.distributed.initialize(
+            coordinator_address=addr,
+            num_processes=int(os.environ["JAX_NUM_PROCESSES"]),
+            process_id=int(os.environ["JAX_PROCESS_ID"]),
+        )
+
+
+def create_mesh(mesh_shape: Optional[Tuple[int, int]] = None,
+                devices=None) -> Mesh:
+    """Build a ('data', 'model') mesh. Default: all devices on 'data'."""
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    if mesh_shape is None:
+        mesh_shape = (n, 1)
+    dp, tp = mesh_shape
+    assert dp * tp == n, f"mesh {mesh_shape} != {n} devices"
+    dev_array = np.asarray(devices).reshape(dp, tp)
+    return Mesh(dev_array, (DATA_AXIS, MODEL_AXIS))
+
+
+# Name-based tensor-parallel rules: (path-substring, PartitionSpec for kernel)
+_COLUMN_SHARDED = ("qkv_linear", "kv_linear", "expand", "mlp_c_fc", "to_q",
+                   "to_k", "to_v")
+_ROW_SHARDED = ("contract", "attn_out_proj", "mlp_c_proj", "to_out")
+
+
+def _spec_for(path_str: str, ndim: int) -> P:
+    if ndim < 2:
+        return P()
+    if any(f"/{n}/" in path_str or path_str.endswith(f"/{n}/kernel")
+           for n in _COLUMN_SHARDED) and path_str.endswith("kernel"):
+        return P(*([None] * (ndim - 1)), MODEL_AXIS)
+    if any(f"/{n}/" in path_str or path_str.endswith(f"/{n}/kernel")
+           for n in _ROW_SHARDED) and path_str.endswith("kernel"):
+        return P(MODEL_AXIS, *([None] * (ndim - 1)))
+    return P()
+
+
+def param_shardings(params, mesh: Mesh):
+    """NamedShardings for a param tree: TP rules over 'model', else replicated."""
+
+    def one(path, leaf):
+        path_str = "/" + "/".join(
+            str(getattr(k, "key", getattr(k, "idx", k))) for k in path
+        )
+        if mesh.shape[MODEL_AXIS] == 1:
+            return NamedSharding(mesh, P())
+        spec = _spec_for(path_str, leaf.ndim)
+        # only shard if the dimension divides evenly
+        ok = all(
+            s is None or leaf.shape[i] % mesh.shape[MODEL_AXIS] == 0
+            for i, s in enumerate(spec)
+        )
+        return NamedSharding(mesh, spec if ok else P())
+
+    return jax.tree_util.tree_map_with_path(one, params)
+
+
+def batch_sharding(mesh: Mesh):
+    """Batch arrays shard over the 'data' axis (leading dim)."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated(mesh: Mesh):
+    return NamedSharding(mesh, P())

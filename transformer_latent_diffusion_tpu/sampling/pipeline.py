@@ -1,0 +1,164 @@
+"""Text-to-image pipeline: the public `DiffusionTransformer` API.
+
+Parity with the reference pipeline (/root/reference/tld/diffusion.py:128-186):
+build the denoiser from `LTDConfig`, optionally download + load weights,
+attach VAE and CLIP towers, and expose
+`generate_image_from_text(prompt, class_guidance=6, seed=11, num_imgs=1,
+img_size=32, n_iter=15) -> PIL.Image`.
+
+Weight files may be Flax checkpoints (.npz / orbax dir) or torch
+state_dicts (.pth) converted on the fly via models/torch_compat.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+from dataclasses import asdict
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from transformer_latent_diffusion_tpu.configs import (
+    LTDConfig,
+    resolve_dtype,
+)
+from transformer_latent_diffusion_tpu.models.clip import FlaxClip
+from transformer_latent_diffusion_tpu.models.denoiser import Denoiser
+from transformer_latent_diffusion_tpu.models.vae import FlaxVae
+from transformer_latent_diffusion_tpu.sampling.diffusion import DiffusionGenerator
+from transformer_latent_diffusion_tpu.utils import (
+    init_denoiser_params,
+    make_grid,
+    to_pil,
+)
+
+
+def download_file(url: str, filename: str) -> None:
+    """Stream a file to disk. Parity: reference diffusion.py:128-133."""
+    import requests
+
+    with requests.get(url, stream=True) as r:
+        r.raise_for_status()
+        with open(filename, "wb") as f:
+            for chunk in r.iter_content(chunk_size=8192):
+                f.write(chunk)
+
+
+def load_denoiser_params(path: str, model: Denoiser, cfg):
+    """Load denoiser weights from .npz (flax) or torch .pth state_dict."""
+    if path.endswith(".npz"):
+        from transformer_latent_diffusion_tpu.train.checkpoint import (
+            unflatten_npz,
+        )
+
+        return unflatten_npz(path)
+    # torch state_dict path
+    from transformer_latent_diffusion_tpu.models.torch_compat import (
+        convert_torch_denoiser_state_dict,
+    )
+
+    import torch
+
+    state_dict = torch.load(path, map_location="cpu")
+    if "model_ema" in state_dict:
+        state_dict = state_dict["model_ema"]
+    return convert_torch_denoiser_state_dict(state_dict, cfg)
+
+
+def encode_text(label, clip_model: FlaxClip):
+    """Parity wrapper: reference diffusion.py:136-140."""
+    return clip_model.encode_text(label)
+
+
+class DiffusionTransformer:
+    """Parity: reference DiffusionTransformer (diffusion.py:143-186)."""
+
+    def __init__(self, cfg: LTDConfig):
+        self.cfg = cfg
+        dtype = resolve_dtype(cfg.denoiser_load.dtype)
+        use_pallas = bool(cfg.use_pallas)
+
+        denoiser = Denoiser(
+            **asdict(cfg.denoiser_cfg), use_pallas=use_pallas, dtype=dtype
+        )
+        params = init_denoiser_params(denoiser, cfg.denoiser_cfg)
+
+        load = cfg.denoiser_load
+        if load.file_url is not None and load.local_filename is not None:
+            if not os.path.exists(load.local_filename):
+                print(f"Downloading model from {load.file_url}")
+                download_file(load.file_url, load.local_filename)
+            params = load_denoiser_params(
+                load.local_filename, denoiser, cfg.denoiser_cfg
+            )
+        elif load.local_filename is not None and os.path.exists(load.local_filename):
+            params = load_denoiser_params(
+                load.local_filename, denoiser, cfg.denoiser_cfg
+            )
+
+        vae_params = None
+        if cfg.vae_cfg.weights_path and os.path.exists(cfg.vae_cfg.weights_path):
+            from transformer_latent_diffusion_tpu.models.torch_compat import (
+                load_vae_params,
+            )
+
+            vae_params = load_vae_params(cfg.vae_cfg.weights_path, cfg.vae_cfg)
+        self.vae = FlaxVae.create(
+            block_out_channels=cfg.vae_cfg.block_out_channels,
+            layers_per_block=cfg.vae_cfg.layers_per_block,
+            latent_channels=cfg.vae_cfg.latent_channels,
+            params=vae_params,
+            dtype=resolve_dtype(cfg.vae_cfg.vae_dtype),
+        )
+
+        clip_params = None
+        if cfg.clip_cfg.weights_path and os.path.exists(cfg.clip_cfg.weights_path):
+            from transformer_latent_diffusion_tpu.models.torch_compat import (
+                load_clip_params,
+            )
+
+            clip_params = load_clip_params(cfg.clip_cfg.weights_path, cfg.clip_cfg)
+        self.clip_model = FlaxClip.create(
+            width=cfg.clip_cfg.width,
+            heads=cfg.clip_cfg.heads,
+            layers=cfg.clip_cfg.layers,
+            embed_dim=cfg.clip_cfg.embed_dim,
+            params=clip_params,
+            vocab_path=cfg.clip_cfg.vocab_path,
+        )
+
+        self.diffuser = DiffusionGenerator(
+            model=denoiser, params=params, vae=self.vae, model_dtype=dtype
+        )
+
+    def generate_image_from_text(
+        self,
+        prompt: str,
+        class_guidance=6,
+        seed=11,
+        num_imgs=1,
+        img_size=32,
+        n_iter=15,
+    ):
+        """Prompt -> PIL image grid. Parity: reference diffusion.py:165-186
+        (including: the latent size comes from the model's image_size; the
+        img_size argument is accepted but unused, like the reference)."""
+        nrow = int(math.sqrt(num_imgs))
+
+        labels = encode_text([prompt] * num_imgs, self.clip_model)
+        out, _ = self.diffuser.generate(
+            labels=labels,
+            num_imgs=num_imgs,
+            img_size=self.diffuser.model.image_size,
+            class_guidance=class_guidance,
+            seed=seed,
+            n_iter=n_iter,
+            exponent=1,
+            scale_factor=8,
+            sharp_f=0,
+            bright_f=0,
+        )
+        grid = make_grid((np.asarray(out) + 1.0) / 2.0, nrow=nrow, padding=4)
+        return to_pil(np.clip(grid, 0.0, 1.0))

@@ -1,0 +1,10 @@
+from transformer_latent_diffusion_tpu.train.checkpoint import (  # noqa: F401
+    CheckpointManager,
+    save_npz,
+    unflatten_npz,
+)
+from transformer_latent_diffusion_tpu.train.train import (  # noqa: F401
+    eval_gen,
+    main,
+    update_ema,
+)

@@ -1,0 +1,78 @@
+"""Checkpointing: orbax for full train state + simple npz for param trees.
+
+Parity with the reference checkpoint semantics (train.py:149-158 and
+92-100): the saved state is {model_ema, opt_state, global_step}; resume
+loads the EMA weights into the training model. Inference loads a raw param
+file (diffusion.py:148-153).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+
+
+def flatten_tree(tree, sep: str = "/") -> Dict[str, np.ndarray]:
+    flat = jax.tree_util.tree_flatten_with_path(tree)[0]
+    out = {}
+    for path, leaf in flat:
+        name = sep.join(str(getattr(k, "key", getattr(k, "idx", k))) for k in path)
+        out[name] = np.asarray(leaf)
+    return out
+
+
+def unflatten_dict(flat: Dict[str, np.ndarray], sep: str = "/"):
+    tree: Dict[str, Any] = {}
+    for name, arr in flat.items():
+        node = tree
+        parts = name.split(sep)
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = arr
+    return tree
+
+
+def save_npz(path: str, tree) -> None:
+    np.savez(path, **flatten_tree(tree))
+
+
+def unflatten_npz(path: str):
+    with np.load(path) as data:
+        return unflatten_dict({k: data[k] for k in data.files})
+
+
+class CheckpointManager:
+    """Orbax-backed {ema_params, opt_state, params, global_step} checkpoints."""
+
+    def __init__(self, directory: str):
+        import orbax.checkpoint as ocp
+
+        self._ocp = ocp
+        self.directory = os.path.abspath(directory)
+        os.makedirs(self.directory, exist_ok=True)
+        self.manager = ocp.CheckpointManager(
+            self.directory,
+            options=ocp.CheckpointManagerOptions(max_to_keep=3, create=True),
+        )
+
+    def save(self, step: int, state: Dict[str, Any]) -> None:
+        self.manager.save(
+            step, args=self._ocp.args.StandardSave(state), force=True
+        )
+        self.manager.wait_until_finished()
+
+    def restore(self, step: Optional[int] = None, template: Any = None):
+        step = step if step is not None else self.manager.latest_step()
+        if step is None:
+            return None
+        if template is not None:
+            return self.manager.restore(
+                step, args=self._ocp.args.StandardRestore(template)
+            )
+        return self.manager.restore(step)
+
+    def latest_step(self) -> Optional[int]:
+        return self.manager.latest_step()

@@ -1,0 +1,290 @@
+"""Training loop: `main(ModelConfig)`, TPU-first.
+
+Capability parity with the reference loop (/root/reference/tld/train.py:62-176):
+in-memory .npy latent + text-embedding dataset, Beta(a,b) noise-level
+sampling, interpolation corruption `x_noisy = s*eps + (1-s)*x`,
+classifier-free-guidance label dropout (p=0.15 -> zero vector), MSE on the
+clean latent (x0 prediction), Adam, EMA (alpha=0.999), periodic eval-image
+generation + checkpointing, optional wandb logging, and resume.
+
+TPU-first design: ONE jitted, buffer-donated `train_step` contains the
+noise sampling, corruption, label dropout, forward/backward, Adam update
+and the EMA lerp — no host round-trips in the hot loop. Parallelism is a
+('data','model') `jax.sharding.Mesh`: the batch shards over 'data'
+(replacing Accelerate/NCCL DDP; XLA inserts the gradient all-reduce over
+ICI) and the wide matmuls optionally shard over 'model' (tensor
+parallelism — beyond reference capability). Gradient accumulation runs as
+a `lax.scan` over microbatches inside the same program.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from dataclasses import asdict
+from functools import partial
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from transformer_latent_diffusion_tpu.configs import ModelConfig, resolve_dtype
+from transformer_latent_diffusion_tpu.models.denoiser import Denoiser
+from transformer_latent_diffusion_tpu.models.vae import FlaxVae
+from transformer_latent_diffusion_tpu.parallel import (
+    batch_sharding,
+    create_mesh,
+    initialize_distributed,
+    param_shardings,
+    replicated,
+)
+from transformer_latent_diffusion_tpu.sampling.diffusion import DiffusionGenerator
+from transformer_latent_diffusion_tpu.train.checkpoint import CheckpointManager
+from transformer_latent_diffusion_tpu.utils import (
+    count_parameters,
+    init_denoiser_params,
+    make_grid,
+    to_pil,
+)
+
+
+def update_ema(ema_params, params, alpha: float = 0.999):
+    """EMA lerp over the param tree. Parity: reference train.py:55-58."""
+    return jax.tree.map(
+        lambda e, p: alpha * e + (1.0 - alpha) * p, ema_params, params
+    )
+
+
+def eval_gen(diffuser: DiffusionGenerator, labels, img_size: int):
+    """In-training eval grid: 16 imgs, cfg 4.5, seed 10, 40 steps.
+
+    Parity: reference train.py:23-40 (including the repeat_interleave of
+    the 8 val embeddings to 16 and the output filename).
+    """
+    class_guidance = 4.5
+    seed = 10
+    out, _ = diffuser.generate(
+        labels=jnp.repeat(jnp.asarray(labels), 2, axis=0),
+        num_imgs=16,
+        class_guidance=class_guidance,
+        seed=seed,
+        n_iter=40,
+        exponent=1,
+        sharp_f=0.1,
+        img_size=img_size,
+    )
+    grid = make_grid((np.asarray(out) + 1.0) / 2.0, nrow=8, padding=4)
+    img = to_pil(np.clip(grid, 0.0, 1.0))
+    img.save(f"emb_val_cfg:{class_guidance}_seed:{seed}.png")
+    return img
+
+
+def _build_train_step(model: Denoiser, optimizer, train_cfg, vae_scale_factor):
+    accum = max(1, train_cfg.grad_accum_steps)
+
+    def loss_fn(params, x, y, rng):
+        r_beta, r_noise, r_drop, r_dropout = jax.random.split(rng, 4)
+        n = x.shape[0]
+        x = x / vae_scale_factor
+        noise_level = jax.random.beta(
+            r_beta, train_cfg.beta_a, train_cfg.beta_b, (n, 1)
+        )
+        nl = noise_level[:, :, None, None]
+        noise = jax.random.normal(r_noise, x.shape, dtype=x.dtype)
+        x_noisy = nl * noise + (1.0 - nl) * x
+
+        # CFG label dropout p=0.15 -> zero vector (reference train.py:136-138)
+        keep = jax.random.uniform(r_drop, (n, 1)) >= 0.15
+        label = y * keep
+
+        pred = model.apply(
+            {"params": params}, x_noisy, noise_level, label,
+            deterministic=model.dropout == 0,
+            rngs=None if model.dropout == 0 else {"dropout": r_dropout},
+        )
+        return jnp.mean((pred - x) ** 2)
+
+    def train_step(state: Dict[str, Any], x, y, rng):
+        params = state["params"]
+        if accum == 1:
+            loss, grads = jax.value_and_grad(loss_fn)(params, x, y, rng)
+        else:
+            xm = x.reshape(accum, x.shape[0] // accum, *x.shape[1:])
+            ym = y.reshape(accum, y.shape[0] // accum, *y.shape[1:])
+            rngs = jax.random.split(rng, accum)
+
+            def micro(carry, inp):
+                loss_acc, grad_acc = carry
+                xi, yi, ri = inp
+                li, gi = jax.value_and_grad(loss_fn)(params, xi, yi, ri)
+                return (loss_acc + li, jax.tree.map(jnp.add, grad_acc, gi)), None
+
+            zero = jax.tree.map(jnp.zeros_like, params)
+            (loss, grads), _ = jax.lax.scan(micro, (0.0, zero), (xm, ym, rngs))
+            loss = loss / accum
+            grads = jax.tree.map(lambda g: g / accum, grads)
+
+        updates, opt_state = optimizer.update(grads, state["opt_state"], params)
+        params = optax.apply_updates(params, updates)
+        ema = update_ema(state["ema_params"], params, train_cfg.alpha)
+        return {
+            "params": params,
+            "ema_params": ema,
+            "opt_state": opt_state,
+            "step": state["step"] + 1,
+        }, loss
+
+    return train_step
+
+
+def main(config: ModelConfig) -> Dict[str, Any]:
+    """Main train loop. Parity: reference train.py:62-176."""
+    denoiser_config = config.denoiser_config
+    train_config = config.train_config
+    dataconfig = config.data_config
+
+    initialize_distributed()
+    mesh = create_mesh(train_config.mesh_shape)
+    is_main = jax.process_index() == 0
+
+    def log(*a):
+        if is_main:
+            print(*a, flush=True)
+
+    wandb_run = None
+    if train_config.use_wandb and is_main:
+        try:
+            import wandb
+
+            wandb_run = wandb.init(
+                project="cifar_diffusion", config=asdict(config)
+            )
+        except ImportError:
+            log("wandb not available; logging to stdout")
+
+    log("Loading Data:")
+    latent_train_data = np.load(dataconfig.latent_path).astype(np.float32)
+    train_label_embeddings = np.load(dataconfig.text_emb_path).astype(np.float32)
+    emb_val = np.load(dataconfig.val_path).astype(np.float32)
+    n_data = len(latent_train_data)
+
+    vae = FlaxVae.create(
+        block_out_channels=config.vae_cfg.block_out_channels,
+        layers_per_block=config.vae_cfg.layers_per_block,
+        latent_channels=config.vae_cfg.latent_channels,
+        dtype=resolve_dtype(config.vae_cfg.vae_dtype),
+    )
+
+    compute_dtype = resolve_dtype(train_config.compute_dtype)
+    model = Denoiser(**asdict(denoiser_config), dtype=compute_dtype)
+    eval_model = model
+
+    params = init_denoiser_params(model, denoiser_config, seed=train_config.seed)
+    optimizer = optax.adam(train_config.lr)
+    opt_state = optimizer.init(params)
+
+    ckpt_mgr = None
+    if train_config.save_model or not train_config.from_scratch:
+        ckpt_mgr = CheckpointManager(
+            os.path.join(train_config.checkpoint_dir,
+                         train_config.model_name or "model")
+        )
+
+    global_step = 0
+    ema_params = jax.tree.map(jnp.copy, params)
+    if not train_config.from_scratch and ckpt_mgr is not None:
+        log("Loading Model:")
+        template = {
+            "params": params,
+            "ema_params": ema_params,
+            "opt_state": opt_state,
+            "step": 0,
+        }
+        restored = ckpt_mgr.restore(template=template)
+        if restored is not None:
+            # resume loads the EMA weights into the train model, matching
+            # the reference (train.py:98)
+            params = restored["ema_params"]
+            ema_params = restored["ema_params"]
+            opt_state = restored["opt_state"]
+            global_step = int(restored["step"])
+
+    # --- sharding: params by TP rules, batch over the data axis ---
+    p_shard = param_shardings(params, mesh)
+    rep = replicated(mesh)
+    b_shard = batch_sharding(mesh)
+    params = jax.device_put(params, p_shard)
+    ema_params = jax.device_put(ema_params, p_shard)
+    opt_state = jax.device_put(opt_state, jax.tree.map(
+        lambda x: p_shard if False else rep, opt_state))
+    state = {
+        "params": params,
+        "ema_params": ema_params,
+        "opt_state": opt_state,
+        "step": jnp.asarray(global_step),
+    }
+
+    train_step = _build_train_step(
+        model, optimizer, train_config, config.vae_cfg.vae_scale_factor
+    )
+    donate = (0,) if train_config.compile else ()
+    train_step = jax.jit(train_step, donate_argnums=donate)
+
+    diffuser = DiffusionGenerator(
+        model=eval_model, params=state["ema_params"], vae=vae,
+        model_dtype=jnp.float32,
+    )
+
+    log(f"{count_parameters(state['params'])} parameters")
+
+    batch_size = train_config.batch_size
+    steps_per_epoch = max(1, n_data // batch_size) if n_data >= batch_size else 1
+    eff_bs = min(batch_size, n_data)
+
+    rng = jax.random.PRNGKey(train_config.seed)
+    data_rng = np.random.default_rng(train_config.seed)
+
+    losses = []
+    for epoch in range(1, train_config.n_epoch + 1):
+        log(f"epoch: {epoch}")
+        perm = data_rng.permutation(n_data)
+        for it in range(steps_per_epoch):
+            idx = perm[(it * eff_bs) % n_data : (it * eff_bs) % n_data + eff_bs]
+            if len(idx) < eff_bs:  # wrap around to keep shapes static
+                idx = np.concatenate([idx, perm[: eff_bs - len(idx)]])
+            x = jax.device_put(latent_train_data[idx], b_shard)
+            y = jax.device_put(train_label_embeddings[idx], b_shard)
+
+            if global_step % train_config.save_and_eval_every_iters == 0:
+                if is_main:
+                    diffuser.params = state["ema_params"]
+                    diffuser._compiled.clear()
+                    out = eval_gen(
+                        diffuser=diffuser, labels=emb_val,
+                        img_size=denoiser_config.image_size,
+                    )
+                    out.save("img.jpg")
+                    if wandb_run is not None:
+                        import wandb
+
+                        wandb_run.log({f"step: {global_step}": wandb.Image("img.jpg")})
+                if train_config.save_model and ckpt_mgr is not None:
+                    ckpt_mgr.save(global_step, jax.device_get(state))
+
+            step_rng = jax.random.fold_in(rng, global_step)
+            state, loss = train_step(state, x, y, step_rng)
+            global_step += 1
+            losses.append(float(loss))
+            if wandb_run is not None:
+                wandb_run.log({"train_loss": float(loss)}, step=global_step)
+
+    if wandb_run is not None:
+        wandb_run.finish()
+
+    if train_config.save_model and ckpt_mgr is not None:
+        ckpt_mgr.save(global_step, jax.device_get(state))
+
+    log(f"final loss {np.mean(losses[-10:]):.5f}")
+    return {"state": state, "losses": losses, "global_step": global_step}

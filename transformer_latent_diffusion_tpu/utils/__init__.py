@@ -1,0 +1,7 @@
+from transformer_latent_diffusion_tpu.utils.common import (  # noqa: F401
+    count_parameters,
+    count_parameters_per_layer,
+    init_denoiser_params,
+    make_grid,
+    to_pil,
+)

@@ -1,0 +1,70 @@
+"""Shared utilities: param init/counting, image grids, PIL conversion.
+
+Covers the reference helpers `count_parameters` (train.py:43),
+`count_parameters_per_layer` (train.py:47) and the torchvision
+`make_grid` + `ToPILImage` usage (train.py:37, diffusion.py:185).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def init_denoiser_params(model, cfg, seed: int = 0):
+    """Initialize denoiser params under jit (eager init is ~10x slower)."""
+    key = jax.random.PRNGKey(seed)
+    x = jnp.zeros((1, cfg.n_channels, cfg.image_size, cfg.image_size))
+    noise = jnp.zeros((1, 1))
+    label = jnp.zeros((1, cfg.text_emb_size))
+    return jax.jit(model.init)(key, x, noise, label)["params"]
+
+
+def count_parameters(params) -> int:
+    return sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
+
+
+def count_parameters_per_layer(params, prefix: str = "") -> None:
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    for path, leaf in flat:
+        name = "/".join(str(getattr(k, "key", k)) for k in path)
+        print(f"{prefix}{name}: {int(np.prod(leaf.shape))} parameters")
+
+
+def make_grid(images: np.ndarray, nrow: int = 8, padding: int = 2,
+              pad_value: float = 0.0) -> np.ndarray:
+    """Tile a batch (B, C, H, W) into one (C, H', W') image grid.
+
+    Same layout semantics as torchvision.utils.make_grid used by the
+    reference (diffusion.py:185, train.py:37).
+    """
+    images = np.asarray(images)
+    b, c, h, w = images.shape
+    ncol = nrow
+    nrows = int(np.ceil(b / ncol))
+    grid = np.full(
+        (c, padding + nrows * (h + padding), padding + ncol * (w + padding)),
+        pad_value,
+        dtype=images.dtype,
+    )
+    for idx in range(b):
+        r, col = divmod(idx, ncol)
+        y = padding + r * (h + padding)
+        x = padding + col * (w + padding)
+        grid[:, y : y + h, x : x + w] = images[idx]
+    return grid
+
+
+def to_pil(img_chw: np.ndarray):
+    """(C, H, W) float in [0, 1] -> PIL.Image (like ToPILImage)."""
+    from PIL import Image
+
+    arr = np.asarray(img_chw)
+    arr = np.clip(arr, 0.0, 1.0)
+    arr = (arr * 255.0 + 0.5).astype(np.uint8)
+    if arr.shape[0] == 1:
+        return Image.fromarray(arr[0], mode="L")
+    return Image.fromarray(np.transpose(arr, (1, 2, 0)), mode="RGB")
