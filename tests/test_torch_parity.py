@@ -1,0 +1,143 @@
+"""Numerical parity vs the reference PyTorch implementation.
+
+These tests import the reference model (read-only mount at
+/root/reference) as an *oracle*: random torch weights are converted with
+models/torch_compat and the Flax model must reproduce the torch outputs.
+Skipped automatically when the reference mount or torch deps are absent.
+"""
+
+import sys
+from dataclasses import asdict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from transformer_latent_diffusion_tpu.configs import DenoiserConfig
+from transformer_latent_diffusion_tpu.models import Denoiser
+from transformer_latent_diffusion_tpu.models.torch_compat import (
+    convert_torch_denoiser_state_dict,
+)
+
+try:
+    sys.path.insert(0, "/root/reference")
+    import torch
+    from tld.denoiser import Denoiser as TorchDenoiser  # noqa: F401
+
+    HAVE_REFERENCE = True
+except Exception:  # pragma: no cover
+    HAVE_REFERENCE = False
+
+
+requires_reference = pytest.mark.skipif(
+    not HAVE_REFERENCE, reason="reference repo / torch not available"
+)
+
+
+@requires_reference
+def test_denoiser_matches_torch_reference():
+    cfg = DenoiserConfig()  # tiny default config
+    torch.manual_seed(0)
+    tmodel = TorchDenoiser(**asdict(cfg))
+    tmodel.eval()
+
+    params = convert_torch_denoiser_state_dict(tmodel.state_dict(), cfg)
+    jmodel = Denoiser(**asdict(cfg))
+
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((3, cfg.n_channels, cfg.image_size, cfg.image_size)).astype(np.float32)
+    noise_level = rng.uniform(0.01, 0.99, (3, 1)).astype(np.float32)
+    label = rng.standard_normal((3, cfg.text_emb_size)).astype(np.float32)
+
+    with torch.no_grad():
+        want = tmodel(
+            torch.from_numpy(x), torch.from_numpy(noise_level), torch.from_numpy(label)
+        ).numpy()
+
+    got = np.asarray(
+        jax.jit(lambda p, *a: jmodel.apply({"params": p}, *a))(
+            params, jnp.asarray(x), jnp.asarray(noise_level), jnp.asarray(label)
+        )
+    )
+
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, atol=2e-4, rtol=1e-3)
+
+
+@requires_reference
+def test_sampler_latents_match_torch_reference():
+    """Full reverse-diffusion parity: same weights, same init noise, same
+    labels -> latents must agree within BASELINE tolerance (1e-2) for both
+    DDIM and DPM++ modes.
+
+    The reference DiffusionGenerator imports diffusers/clip which are not
+    installed, so the oracle here re-executes the reference's update rule
+    through its own Denoiser in a minimal loop that mirrors
+    diffusion.py:29-92 semantics (verified against SURVEY.md §3.2).
+    """
+    cfg = DenoiserConfig()
+    torch.manual_seed(1)
+    tmodel = TorchDenoiser(**asdict(cfg))
+    tmodel.eval()
+    params = convert_torch_denoiser_state_dict(tmodel.state_dict(), cfg)
+    jmodel = Denoiser(**asdict(cfg))
+
+    num_imgs, n_iter, guidance = 2, 6, 3.0
+    rng = np.random.default_rng(1)
+    x_init = rng.standard_normal(
+        (num_imgs, cfg.n_channels, cfg.image_size, cfg.image_size)
+    ).astype(np.float32)
+    labels = rng.standard_normal((num_imgs, cfg.text_emb_size)).astype(np.float32)
+
+    for use_ddpm_plus in (False, True):
+        # --- torch oracle loop (reference semantics) ---
+        noise_levels = (1 - np.power(np.arange(0, 1, 1.0 / n_iter), 1.0)).tolist()
+        noise_levels[0] = 0.99
+        if use_ddpm_plus:
+            lambdas = [np.log((1 - s) / s) for s in noise_levels]
+            hs = [lambdas[i] - lambdas[i - 1] for i in range(1, len(lambdas))]
+            rs = [hs[i - 1] / hs[i] for i in range(1, len(hs))]
+
+        labels_cat = torch.from_numpy(
+            np.concatenate([labels, np.zeros_like(labels)], axis=0)
+        )
+
+        def pred(x_t, sigma):
+            with torch.no_grad():
+                noises = torch.full((2 * num_imgs, 1), sigma, dtype=torch.float32)
+                x0 = tmodel(torch.cat([x_t, x_t]), noises, labels_cat)
+            return guidance * x0[:num_imgs] + (1 - guidance) * x0[num_imgs:]
+
+        x_t = torch.from_numpy(x_init.copy())
+        x0_prev = None
+        for i in range(len(noise_levels) - 1):
+            curr, nxt = noise_levels[i], noise_levels[i + 1]
+            x0 = pred(x_t, curr)
+            if x0_prev is None or not use_ddpm_plus:
+                d = x0
+            else:
+                d = (1 + 1 / (2 * rs[i - 1])) * x0 - (1 / (2 * rs[i - 1])) * x0_prev
+            x_t = ((curr - nxt) * d + nxt * x_t) / curr
+            x0_prev = x0
+        want = pred(x_t, noise_levels[-1]).numpy()
+
+        # --- our jitted scan sampler ---
+        from transformer_latent_diffusion_tpu.sampling import DiffusionGenerator
+
+        gen = DiffusionGenerator(model=jmodel, params=params, vae=None)
+        _, got = gen.generate(
+            labels=jnp.asarray(labels),
+            n_iter=n_iter,
+            num_imgs=num_imgs,
+            class_guidance=guidance,
+            img_size=cfg.image_size,
+            sharp_f=0.0,
+            bright_f=0.0,
+            seeds=x_init,
+            use_ddpm_plus=use_ddpm_plus,
+        )
+        got = np.asarray(got)
+        assert np.max(np.abs(got - want)) < 1e-2, (
+            use_ddpm_plus, np.max(np.abs(got - want)))
+        np.testing.assert_allclose(got, want, atol=2e-3, rtol=1e-2)
