@@ -1,0 +1,139 @@
+"""Training-loop tests — mirrors reference tests/test_diffuser.py
+test_training (2-epoch smoke on random .npy data) plus sharded-mesh tests
+the reference lacks."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from transformer_latent_diffusion_tpu.configs import (
+    DataConfig,
+    DenoiserConfig,
+    ModelConfig,
+    TrainConfig,
+    VaeConfig,
+)
+
+
+def _write_fake_data(tmp_path, n=64, img_size=16, text_emb_size=768):
+    rng = np.random.default_rng(0)
+    latents = rng.standard_normal((n, 4, img_size, img_size)).astype(np.float32)
+    text_emb = rng.standard_normal((n, text_emb_size)).astype(np.float32)
+    val_emb = rng.standard_normal((8, text_emb_size)).astype(np.float32)
+    lp, tp, vp = (str(tmp_path / f) for f in ("latents.npy", "text_emb.npy", "val_emb.npy"))
+    np.save(lp, latents)
+    np.save(tp, text_emb)
+    np.save(vp, val_emb)
+    return DataConfig(latent_path=lp, text_emb_path=tp, val_path=vp)
+
+
+SMALL_DENOISER = DenoiserConfig(image_size=8, embed_dim=64, n_layers=2,
+                                noise_embed_dims=64)
+
+
+def _model_cfg(tmp_path, denoiser=None, img_size=16, **train_kw):
+    defaults = dict(
+        n_epoch=2,
+        batch_size=32,
+        save_model=False,
+        compile=True,
+        use_wandb=False,
+        save_and_eval_every_iters=10**9,  # eval tested once in test_training
+        checkpoint_dir=str(tmp_path / "ckpts"),
+    )
+    defaults.update(train_kw)
+    return ModelConfig(
+        data_config=_write_fake_data(tmp_path, img_size=img_size),
+        denoiser_config=denoiser or DenoiserConfig(),
+        train_config=TrainConfig(**defaults),
+        vae_cfg=VaeConfig(block_out_channels=(8, 16), layers_per_block=1),
+    )
+
+
+def test_training(tmp_path):
+    """2-epoch train smoke test. Parity: reference test_diffuser.py:96-121."""
+    from transformer_latent_diffusion_tpu.train import main
+
+    result = main(_model_cfg(tmp_path, save_and_eval_every_iters=1000))
+    assert result["global_step"] == 4  # 64/32 batches x 2 epochs
+    losses = result["losses"]
+    assert all(np.isfinite(losses))
+    # eval image written at step 0 (reference writes the same files)
+    assert os.path.exists("emb_val_cfg:4.5_seed:10.png")
+    assert os.path.exists("img.jpg")
+
+
+def test_training_loss_decreases(tmp_path):
+    """Beyond reference: check optimization actually reduces loss on a
+    memorizable dataset."""
+    from transformer_latent_diffusion_tpu.train import main
+
+    cfg = _model_cfg(tmp_path, denoiser=SMALL_DENOISER, img_size=8,
+                     n_epoch=30, batch_size=64, lr=1e-3)
+    result = main(cfg)
+    losses = result["losses"]
+    assert np.mean(losses[-5:]) < 0.8 * np.mean(losses[:5]), losses
+
+
+def test_training_data_parallel_mesh(tmp_path):
+    """DP over the 8 virtual CPU devices (replaces Accelerate DDP)."""
+    from transformer_latent_diffusion_tpu.train import main
+
+    cfg = _model_cfg(tmp_path, denoiser=SMALL_DENOISER, img_size=8,
+                     mesh_shape=(8, 1))
+    result = main(cfg)
+    assert all(np.isfinite(result["losses"]))
+
+
+def test_training_tensor_parallel_mesh(tmp_path):
+    """DP x TP (2,4) mesh — beyond reference capability."""
+    from transformer_latent_diffusion_tpu.train import main
+
+    cfg = _model_cfg(tmp_path, denoiser=SMALL_DENOISER, img_size=8,
+                     mesh_shape=(2, 4))
+    result = main(cfg)
+    assert all(np.isfinite(result["losses"]))
+
+
+def test_checkpoint_resume(tmp_path):
+    """Save at step k, resume loads EMA into train params and continues
+    counting. Parity: reference train.py:92-100 + 149-158 semantics."""
+    from transformer_latent_diffusion_tpu.train import main
+
+    cfg = _model_cfg(tmp_path, denoiser=SMALL_DENOISER, img_size=8,
+                     save_model=True, model_name="m0", n_epoch=1)
+    r1 = main(cfg)
+    step1 = r1["global_step"]
+    assert step1 == 2
+
+    cfg2 = _model_cfg(tmp_path, denoiser=SMALL_DENOISER, img_size=8,
+                      save_model=False, model_name="m0",
+                      from_scratch=False, n_epoch=1)
+    r2 = main(cfg2)
+    assert r2["global_step"] == step1 + 2
+
+    # resumed params == saved EMA params
+    saved_ema = jax.device_get(r1["state"]["ema_params"])
+    # r2 trained further, but its initial params came from saved EMA —
+    # verify by rerunning 0 epochs
+    cfg3 = _model_cfg(tmp_path, denoiser=SMALL_DENOISER, img_size=8,
+                      save_model=False, model_name="m0",
+                      from_scratch=False, n_epoch=0)
+    r3 = main(cfg3)
+    got = jax.device_get(r3["state"]["params"])
+    flat_a = jax.tree.leaves(saved_ema)
+    flat_b = jax.tree.leaves(got)
+    for a, b in zip(flat_a, flat_b):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_ema_update_math():
+    from transformer_latent_diffusion_tpu.train import update_ema
+
+    ema = {"w": jnp.ones((4,))}
+    new = {"w": jnp.zeros((4,))}
+    out = update_ema(ema, new, alpha=0.999)
+    np.testing.assert_allclose(np.asarray(out["w"]), 0.999)

@@ -112,6 +112,24 @@ class MLP(nn.Module):
         return nn.Dropout(self.dropout_level)(x, deterministic=deterministic)
 
 
+def depthwise_conv3x3(x: jax.Array, kernel: jax.Array, bias: jax.Array) -> jax.Array:
+    """3x3 depthwise conv as 9 shifted FMAs (SAME padding), NHWC.
+
+    TPU-first: a grouped `conv_general_dilated` lowers poorly (per-channel
+    conv decomposition; pathological backward compile), while 9 shifted
+    elementwise multiply-adds map directly onto the VPU and fuse with the
+    surrounding GELU/matmul. kernel: (3, 3, 1, C) (flax Conv layout so
+    converted torch weights drop in), bias: (C,).
+    """
+    b, h, w, c = x.shape
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    acc = jnp.zeros_like(x)
+    for di in range(3):
+        for dj in range(3):
+            acc = acc + xp[:, di : di + h, dj : dj + w, :] * kernel[di, dj, 0]
+    return acc + bias
+
+
 class MLPSepConv(nn.Module):
     """LocalViT FFN: 1x1 conv -> 3x3 depthwise -> GELU -> 1x1 conv -> dropout.
 
@@ -134,14 +152,13 @@ class MLPSepConv(nn.Module):
         x = x.reshape(b, hw, hw, d)
         # 1x1 conv == Dense over the channel dim (maps onto the MXU directly)
         x = nn.Dense(hidden, dtype=self.dtype, name="expand")(x)
-        x = nn.Conv(
-            features=hidden,
-            kernel_size=(3, 3),
-            padding="SAME",
-            feature_group_count=hidden,  # depthwise
-            dtype=self.dtype,
-            name="depthwise",
-        )(x)
+        dw = self.param(
+            "depthwise_kernel",
+            nn.initializers.lecun_normal(),
+            (3, 3, 1, hidden),
+        )
+        dw_b = self.param("depthwise_bias", nn.initializers.zeros, (hidden,))
+        x = depthwise_conv3x3(x, dw.astype(self.dtype), dw_b.astype(self.dtype))
         x = _gelu(x)
         x = nn.Dense(self.embed_dim, dtype=self.dtype, name="contract")(x)
         x = nn.Dropout(self.dropout_level)(x, deterministic=deterministic)

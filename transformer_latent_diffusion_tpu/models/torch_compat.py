@@ -93,10 +93,8 @@ def convert_torch_denoiser_state_dict(sd: Dict[str, Any], cfg) -> Dict[str, Any]
                     "kernel": hidden_w[:, :, 0, 0].T,
                     "bias": _np(sd[f"{base}.mlp.mlp.0.bias"]),
                 },
-                "depthwise": {
-                    "kernel": dw_w.transpose(2, 3, 1, 0),  # (3,3,1,hidden)
-                    "bias": _np(sd[f"{base}.mlp.mlp.1.bias"]),
-                },
+                "depthwise_kernel": dw_w.transpose(2, 3, 1, 0),  # (3,3,1,hidden)
+                "depthwise_bias": _np(sd[f"{base}.mlp.mlp.1.bias"]),
                 "contract": {
                     "kernel": out_w[:, :, 0, 0].T,
                     "bias": _np(sd[f"{base}.mlp.mlp.3.bias"]),

@@ -27,8 +27,13 @@ from flax import linen as nn
 GN_EPS = 1e-6
 
 
-def _norm(num_groups: int = 32, name: str | None = None):
-    return nn.GroupNorm(num_groups=num_groups, epsilon=GN_EPS, name=name)
+def _norm(channels: int, num_groups: int = 32, name: str | None = None):
+    # sdxl-vae uses 32 groups everywhere (all channels divisible by 32);
+    # gcd keeps tiny test configs valid.
+    import math
+
+    return nn.GroupNorm(num_groups=math.gcd(num_groups, channels),
+                        epsilon=GN_EPS, name=name)
 
 
 class ResnetBlock(nn.Module):
@@ -38,11 +43,11 @@ class ResnetBlock(nn.Module):
     @nn.compact
     def __call__(self, x):
         in_channels = x.shape[-1]
-        h = _norm(name="norm1")(x)
+        h = _norm(x.shape[-1], name="norm1")(x)
         h = nn.silu(h)
         h = nn.Conv(self.out_channels, (3, 3), padding="SAME", dtype=self.dtype,
                     name="conv1")(h)
-        h = _norm(name="norm2")(h)
+        h = _norm(h.shape[-1], name="norm2")(h)
         h = nn.silu(h)
         h = nn.Conv(self.out_channels, (3, 3), padding="SAME", dtype=self.dtype,
                     name="conv2")(h)
@@ -62,7 +67,7 @@ class AttnBlock(nn.Module):
     def __call__(self, x):
         b, h, w, c = x.shape
         res = x
-        x = _norm(name="group_norm")(x)
+        x = _norm(x.shape[-1], name="group_norm")(x)
         flat = x.reshape(b, h * w, c)
         q = nn.Dense(c, dtype=self.dtype, name="to_q")(flat)
         k = nn.Dense(c, dtype=self.dtype, name="to_k")(flat)
@@ -132,7 +137,7 @@ class Encoder(nn.Module):
                 x = Downsample(ch, dtype=self.dtype, name=f"down_{i}_downsample")(x)
         x = MidBlock(self.block_out_channels[-1], dtype=self.dtype,
                      name="mid_block")(x)
-        x = _norm(name="conv_norm_out")(x)
+        x = _norm(x.shape[-1], name="conv_norm_out")(x)
         x = nn.silu(x)
         return nn.Conv(2 * self.latent_channels, (3, 3), padding="SAME",
                        dtype=self.dtype, name="conv_out")(x)
@@ -155,7 +160,7 @@ class Decoder(nn.Module):
                 x = ResnetBlock(ch, dtype=self.dtype, name=f"up_{i}_resnet_{j}")(x)
             if i < len(reversed_ch) - 1:
                 x = Upsample(ch, dtype=self.dtype, name=f"up_{i}_upsample")(x)
-        x = _norm(name="conv_norm_out")(x)
+        x = _norm(x.shape[-1], name="conv_norm_out")(x)
         x = nn.silu(x)
         return nn.Conv(self.out_channels, (3, 3), padding="SAME",
                        dtype=self.dtype, name="conv_out")(x)

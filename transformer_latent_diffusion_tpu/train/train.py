@@ -170,12 +170,18 @@ def main(config: ModelConfig) -> Dict[str, Any]:
     emb_val = np.load(dataconfig.val_path).astype(np.float32)
     n_data = len(latent_train_data)
 
-    vae = FlaxVae.create(
-        block_out_channels=config.vae_cfg.block_out_channels,
-        layers_per_block=config.vae_cfg.layers_per_block,
-        latent_channels=config.vae_cfg.latent_channels,
-        dtype=resolve_dtype(config.vae_cfg.vae_dtype),
-    )
+    # VAE is only needed for eval decode; build lazily on first eval
+    _vae_cache = []
+
+    def get_vae():
+        if not _vae_cache:
+            _vae_cache.append(FlaxVae.create(
+                block_out_channels=config.vae_cfg.block_out_channels,
+                layers_per_block=config.vae_cfg.layers_per_block,
+                latent_channels=config.vae_cfg.latent_channels,
+                dtype=resolve_dtype(config.vae_cfg.vae_dtype),
+            ))
+        return _vae_cache[0]
 
     compute_dtype = resolve_dtype(train_config.compute_dtype)
     model = Denoiser(**asdict(denoiser_config), dtype=compute_dtype)
@@ -205,8 +211,9 @@ def main(config: ModelConfig) -> Dict[str, Any]:
         restored = ckpt_mgr.restore(template=template)
         if restored is not None:
             # resume loads the EMA weights into the train model, matching
-            # the reference (train.py:98)
-            params = restored["ema_params"]
+            # the reference (train.py:98). Copy so params/ema don't alias
+            # (both buffers are donated by the jitted train step).
+            params = jax.tree.map(jnp.copy, restored["ema_params"])
             ema_params = restored["ema_params"]
             opt_state = restored["opt_state"]
             global_step = int(restored["step"])
@@ -232,10 +239,7 @@ def main(config: ModelConfig) -> Dict[str, Any]:
     donate = (0,) if train_config.compile else ()
     train_step = jax.jit(train_step, donate_argnums=donate)
 
-    diffuser = DiffusionGenerator(
-        model=eval_model, params=state["ema_params"], vae=vae,
-        model_dtype=jnp.float32,
-    )
+    diffuser = None
 
     log(f"{count_parameters(state['params'])} parameters")
 
@@ -259,8 +263,14 @@ def main(config: ModelConfig) -> Dict[str, Any]:
 
             if global_step % train_config.save_and_eval_every_iters == 0:
                 if is_main:
+                    if diffuser is None:
+                        diffuser = DiffusionGenerator(
+                            model=eval_model, params=state["ema_params"],
+                            vae=get_vae(), model_dtype=jnp.float32,
+                        )
+                    # params are an argument of the compiled sampler, so
+                    # updating them does not trigger a recompile
                     diffuser.params = state["ema_params"]
-                    diffuser._compiled.clear()
                     out = eval_gen(
                         diffuser=diffuser, labels=emb_val,
                         img_size=denoiser_config.image_size,
