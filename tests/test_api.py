@@ -1,0 +1,91 @@
+"""Serving API tests — mirrors reference tests/test_api.py (root 200,
+unauthorized 401, authorized generate -> valid JPEG) against the WSGI
+frontend in-process (fastapi frontend is picked automatically when
+installed; same core handler either way)."""
+
+import io
+import json
+import os
+
+import PIL.Image
+import pytest
+
+from transformer_latent_diffusion_tpu.serve import create_wsgi_app
+
+
+class WsgiClient:
+    """Tiny in-process WSGI test client (no httpx/fastapi needed)."""
+
+    def __init__(self, app):
+        self.app = app
+
+    def request(self, method, path, headers=None, body=b""):
+        out = {}
+
+        def start_response(status, response_headers):
+            out["status"] = int(status.split()[0])
+            out["headers"] = dict(response_headers)
+
+        environ = {
+            "REQUEST_METHOD": method,
+            "PATH_INFO": path,
+            "CONTENT_LENGTH": str(len(body)),
+            "wsgi.input": io.BytesIO(body),
+        }
+        for k, v in (headers or {}).items():
+            environ["HTTP_" + k.upper().replace("-", "_")] = v
+        chunks = self.app(environ, start_response)
+        out["body"] = b"".join(chunks)
+        return out
+
+    def get(self, path, **kw):
+        return self.request("GET", path, **kw)
+
+    def post_json(self, path, payload, headers=None):
+        return self.request("POST", path, headers=headers,
+                            body=json.dumps(payload).encode())
+
+
+@pytest.fixture(scope="module")
+def client():
+    os.environ.setdefault("API_TOKEN", "test-token")
+    from tests.test_diffusion import tiny_ltd_config
+
+    app = create_wsgi_app(tiny_ltd_config())
+    return WsgiClient(app)
+
+
+def test_read_main(client):
+    r = client.get("/")
+    assert r["status"] == 200
+    assert json.loads(r["body"]) == {"message": "Welcome to Image Generator"}
+
+
+def test_generate_image_unauthorized(client):
+    r = client.post_json("/generate-image/", {})
+    assert r["status"] == 401
+    assert json.loads(r["body"]) == {"detail": "Not authenticated"}
+
+
+def test_generate_image_bad_token(client):
+    r = client.post_json("/generate-image/", {"prompt": "x"},
+                         headers={"Authorization": "Bearer wrong"})
+    assert r["status"] == 401
+    assert json.loads(r["body"]) == {"detail": "Invalid authentication credentials"}
+
+
+def test_generate_image_authorized(client):
+    token = os.getenv("API_TOKEN")
+    r = client.post_json("/generate-image/", {"prompt": "a cute cat"},
+                         headers={"Authorization": f"Bearer {token}"})
+    assert r["status"] == 200
+    assert r["headers"]["Content-Type"] == "image/jpeg"
+    img = PIL.Image.open(io.BytesIO(r["body"]))
+    assert img.format == "JPEG"
+
+
+def test_generate_image_missing_prompt(client):
+    token = os.getenv("API_TOKEN")
+    r = client.post_json("/generate-image/", {},
+                         headers={"Authorization": f"Bearer {token}"})
+    assert r["status"] == 422

@@ -1,0 +1,316 @@
+"""Offline data pipeline: (url, caption) pairs -> VAE latents + CLIP text
+embeddings, TPU-first.
+
+Capability parity with the reference pipeline (/root/reference/tld/data.py):
+parquet -> csv of (key, url, caption); img2dataset webdataset download;
+shard decode; CLIP text encode + VAE image encode; resizable HDF5 output
+(`image_latents` (N,4,32,32) f16, `text_encodings` (N,768) f16) +
+metadata.csv; uint8 latent quantize/dequantize helpers; latent decode
+utility; config.json dump; optional wandb.
+
+TPU-native design differences:
+  * encoding runs through the Flax VAE/CLIP towers (jitted, fixed batch
+    shapes, bf16-capable) instead of torch CUDA towers;
+  * shards are split across TPU hosts by (process_index, process_count) —
+    each host encodes its own shard range (the reference is single-host);
+  * the webdataset dependency is replaced by a small native tar shard
+    reader (`iter_webdataset_shards`) — pure stdlib tarfile + PIL;
+  * an `hdf5_to_npy` exporter produces the .npy pair train.main consumes.
+
+img2dataset / wandb are optional (gated imports): without img2dataset,
+`download_data=False` consumes pre-downloaded .tar shards.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import os
+import tarfile
+from dataclasses import asdict
+from typing import Iterator, List, Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from transformer_latent_diffusion_tpu.configs import DataDownloadConfig
+
+
+# --------------------------- encode / decode utils --------------------------
+
+
+def encode_text(label: Union[str, List[str]], model) -> np.ndarray:
+    """Captions -> pooled CLIP embeddings (B, 768) f32 on host.
+
+    Parity: reference data.py:29-32."""
+    return np.asarray(model.encode_text(label))
+
+
+def encode_image(img, vae) -> np.ndarray:
+    """Images (B, 3, H, W) in [0, 1] -> sampled latents (unscaled).
+
+    Applies the reference's `x * 2 - 1` remap then VAE-encode + sample
+    (parity: data.py:35-41)."""
+    x = jnp.asarray(img) * 2.0 - 1.0
+    return np.asarray(vae.encode(x))
+
+
+def decode_latents(out_latents, vae) -> np.ndarray:
+    """Unscaled latents -> images in [0, 1]. Parity: data.py:45-49."""
+    out = np.asarray(vae.decode(jnp.asarray(out_latents)))
+    return np.clip((out + 1.0) / 2.0, 0.0, 1.0)
+
+
+def quantize_latents(lat, clip_val: float = 20.0) -> np.ndarray:
+    """Scale and quantize latents to uint8. Parity: data.py:52-56."""
+    lat_norm = np.clip(np.asarray(lat), -clip_val, clip_val) / clip_val
+    return (((lat_norm + 1.0) / 2.0) * 255).astype(np.uint8)
+
+
+def dequantize_latents(lat, clip_val: float = 20.0) -> np.ndarray:
+    """Parity: data.py:58-60."""
+    lat_norm = (np.asarray(lat).astype(np.float16) / 255) * 2.0 - 1.0
+    return lat_norm * clip_val
+
+
+def append_to_dataset(dataset, new_data) -> None:
+    """Append along axis 0 of a resizable HDF5 dataset. Parity: data.py:63-67."""
+    new_data = np.asarray(new_data)
+    new_size = dataset.shape[0] + new_data.shape[0]
+    dataset.resize(new_size, axis=0)
+    dataset[-new_data.shape[0]:] = new_data
+
+
+# --------------------------- native shard reader ----------------------------
+
+
+def iter_webdataset_shards(
+    tar_files: Sequence[str],
+    batch_size: int,
+    image_size: int,
+    caption_key: str = "caption",
+    url_key: str = "url",
+) -> Iterator[Tuple[np.ndarray, Tuple[List[str], List[str]]]]:
+    """Stream (img_batch [B,3,S,S] f32 in [0,1], (captions, urls)) from
+    img2dataset-style .tar shards (jpg/png + json per sample).
+
+    Native replacement for the reference's WebDataset loader
+    (data.py:146-164) — stdlib tarfile, no webdataset dependency.
+    """
+    from PIL import Image
+
+    imgs: List[np.ndarray] = []
+    caps: List[str] = []
+    urls: List[str] = []
+
+    for tar_path in tar_files:
+        with tarfile.open(tar_path) as tf:
+            samples = {}
+            for member in tf.getmembers():
+                if not member.isfile():
+                    continue
+                base, ext = os.path.splitext(member.name)
+                samples.setdefault(base, {})[ext.lower()] = member
+            for base in sorted(samples):
+                parts = samples[base]
+                img_member = parts.get(".jpg") or parts.get(".png") or parts.get(".jpeg")
+                json_member = parts.get(".json")
+                if img_member is None or json_member is None:
+                    continue
+                meta = json.loads(tf.extractfile(json_member).read())
+                img = Image.open(io.BytesIO(tf.extractfile(img_member).read()))
+                img = img.convert("RGB")
+                if img.size != (image_size, image_size):
+                    img = img.resize((image_size, image_size))
+                arr = np.asarray(img, dtype=np.float32) / 255.0
+                imgs.append(arr.transpose(2, 0, 1))
+                caps.append(str(meta.get(caption_key, "")))
+                urls.append(str(meta.get(url_key, meta.get("url", ""))))
+                if len(imgs) == batch_size:
+                    yield np.stack(imgs), (caps, urls)
+                    imgs, caps, urls = [], [], []
+    if imgs:
+        yield np.stack(imgs), (caps, urls)
+
+
+# --------------------------- HDF5 encode loop -------------------------------
+
+
+def get_text_and_latent_embeddings_hdf5(
+    dataloader, vae, model, drive_save_path: str,
+    latent_shape: Tuple[int, int, int] = (4, 32, 32),
+    text_emb_size: int = 768,
+) -> None:
+    """Encode image/text batches to resizable HDF5 + metadata.csv.
+
+    Parity: reference data.py:70-109 (same file names, dataset names,
+    dtypes and append semantics)."""
+    import h5py
+    import pandas as pd
+
+    img_latent_path = os.path.join(drive_save_path, "image_latents.hdf5")
+    text_embed_path = os.path.join(drive_save_path, "text_encodings.hdf5")
+    metadata_csv_path = os.path.join(drive_save_path, "metadata.csv")
+
+    with h5py.File(img_latent_path, "a") as img_file, \
+            h5py.File(text_embed_path, "a") as text_file:
+        if "image_latents" not in img_file:
+            img_ds = img_file.create_dataset(
+                "image_latents", shape=(0, *latent_shape),
+                maxshape=(None, *latent_shape), dtype="float16", chunks=True,
+            )
+        else:
+            img_ds = img_file["image_latents"]
+        if "text_encodings" not in text_file:
+            text_ds = text_file.create_dataset(
+                "text_encodings", shape=(0, text_emb_size),
+                maxshape=(None, text_emb_size), dtype="float16", chunks=True,
+            )
+        else:
+            text_ds = text_file["text_encodings"]
+
+        for img, (label, url) in dataloader:
+            text_encoding = encode_text(list(label), model).astype(np.float16)
+            img_encoding = encode_image(img, vae).astype(np.float16)
+
+            append_to_dataset(img_ds, img_encoding)
+            append_to_dataset(text_ds, text_encoding)
+
+            metadata_df = pd.DataFrame({"text": list(label), "url": list(url)})
+            header = not os.path.exists(metadata_csv_path)
+            metadata_df.to_csv(metadata_csv_path, mode="a" if not header else "w",
+                               header=header, index=False)
+
+
+def hdf5_to_npy(latent_dir: str, out_latents: str = "latents.npy",
+                out_text: str = "text_emb.npy") -> Tuple[str, str]:
+    """Export the HDF5 pair to the .npy files train.main consumes."""
+    import h5py
+
+    with h5py.File(os.path.join(latent_dir, "image_latents.hdf5"), "r") as f:
+        np.save(out_latents, np.asarray(f["image_latents"], dtype=np.float32))
+    with h5py.File(os.path.join(latent_dir, "text_encodings.hdf5"), "r") as f:
+        np.save(out_text, np.asarray(f["text_encodings"], dtype=np.float32))
+    return out_latents, out_text
+
+
+# --------------------------- top-level driver -------------------------------
+
+
+def download_and_process_data(
+    latent_save_path="latents",
+    raw_imgs_save_path="raw_imgs",
+    csv_path="imgs.csv",
+    image_size=256,
+    bs=64,
+    caption_col="captions",
+    url_col="url",
+    download_data=True,
+    number_sample_per_shard=10000,
+    vae=None,
+    clip_model=None,
+    process_index: int = 0,
+    process_count: int = 1,
+):
+    """Download (img2dataset) + encode shards. Parity: data.py:112-173.
+
+    TPU addition: with process_count > 1 each host takes every
+    process_count-th tar shard (shard-index striping across hosts)."""
+    os.makedirs(raw_imgs_save_path, exist_ok=True)
+    os.makedirs(latent_save_path, exist_ok=True)
+
+    if download_data:
+        try:
+            from img2dataset import download
+        except ImportError as e:
+            raise RuntimeError(
+                "img2dataset is not installed; pass download_data=False and "
+                "provide pre-downloaded .tar shards in raw_imgs_save_path"
+            ) from e
+        download(
+            processes_count=8,
+            thread_count=64,
+            url_list=csv_path,
+            image_size=image_size,
+            output_folder=raw_imgs_save_path,
+            output_format="webdataset",
+            input_format="csv",
+            url_col=url_col,
+            caption_col=caption_col,
+            enable_wandb=False,
+            number_sample_per_shard=number_sample_per_shard,
+            distributor="multiprocessing",
+            resize_mode="center_crop",
+        )
+
+    tar_files = sorted(
+        os.path.join(raw_imgs_save_path, f)
+        for f in os.listdir(raw_imgs_save_path) if f.endswith(".tar")
+    )
+    # multi-host striping
+    tar_files = tar_files[process_index::process_count]
+    print(f"[host {process_index}/{process_count}] {len(tar_files)} shards")
+
+    if vae is None:
+        from transformer_latent_diffusion_tpu.models.vae import FlaxVae
+
+        vae = FlaxVae.create()
+    if clip_model is None:
+        from transformer_latent_diffusion_tpu.models.clip import FlaxClip
+
+        clip_model = FlaxClip.create()
+
+    loader = iter_webdataset_shards(
+        tar_files, batch_size=bs, image_size=image_size,
+        caption_key="caption", url_key=url_col,
+    )
+    latent_hw = image_size // 8
+    print("Starting to encode latents and text:")
+    get_text_and_latent_embeddings_hdf5(
+        loader, vae, clip_model, latent_save_path,
+        latent_shape=(4, latent_hw, latent_hw),
+    )
+    print("Finished encoding latents and text.")
+
+
+def main(data_config: DataDownloadConfig):
+    """Parity: reference data.py:177-214."""
+    wandb_run = None
+    if data_config.use_wandb:
+        try:
+            import wandb
+
+            wandb_run = wandb.init(project="image_vae_processing",
+                                   config=asdict(data_config))
+        except ImportError:
+            print("wandb not available; continuing without logging")
+
+    os.makedirs(data_config.latent_save_path, exist_ok=True)
+    config_file_path = os.path.join(data_config.latent_save_path, "config.json")
+    with open(config_file_path, "w") as f:
+        json.dump(asdict(data_config), f)
+    print("Config saved to:", config_file_path)
+
+    import pandas as pd
+
+    df = pd.read_parquet(data_config.data_link)
+    df = df.iloc[: data_config.first_n_rows]
+    df[["key", "url", "caption"]].to_csv(data_config.initial_csv_path, index=None)
+
+    download_and_process_data(
+        latent_save_path=data_config.latent_save_path,
+        raw_imgs_save_path=data_config.raw_imgs_save_path,
+        csv_path=data_config.initial_csv_path,
+        image_size=data_config.image_size,
+        bs=data_config.batch_size,
+        caption_col=data_config.caption_col,
+        url_col=data_config.url_col,
+        download_data=data_config.download_data,
+        number_sample_per_shard=data_config.number_sample_per_shard,
+        process_index=data_config.process_index,
+        process_count=data_config.process_count,
+    )
+
+    if wandb_run is not None:
+        wandb_run.finish()

@@ -74,6 +74,9 @@ class DiffusionGenerator:
     params: Any
     vae: Any = None
     model_dtype: Any = jnp.float32
+    # optional fused Pallas engine (models/fast_denoiser.make_fused_apply);
+    # when set, the scan calls it instead of model.apply
+    fast_apply: Any = None
     _compiled: Dict[Any, Any] = field(default_factory=dict, repr=False)
 
     def _sample_fn(self, n_steps: int, shape: Tuple[int, ...]):
@@ -83,13 +86,17 @@ class DiffusionGenerator:
             return self._compiled[key]
 
         model = self.model
+        fast_apply = self.fast_apply
 
         def pred_x0(params, x_t, labels_cat, noise_level, class_guidance):
             """Double-batch CFG denoiser call (reference diffusion.py:94-103)."""
             num = x_t.shape[0]
             x2 = jnp.concatenate([x_t, x_t], axis=0)
             noises = jnp.full((2 * num, 1), noise_level, dtype=x_t.dtype)
-            x0 = model.apply({"params": params}, x2, noises, labels_cat)
+            if fast_apply is not None:
+                x0 = fast_apply(params, x2, noises, labels_cat)
+            else:
+                x0 = model.apply({"params": params}, x2, noises, labels_cat)
             cond, uncond = x0[:num], x0[num:]
             return class_guidance * cond + (1.0 - class_guidance) * uncond
 
@@ -121,14 +128,17 @@ class DiffusionGenerator:
 
     def initialize_image(self, seeds, num_imgs, img_size, seed):
         """Seeded gaussian init. Parity: reference diffusion.py:105-120."""
+        # sampler state stays float32 regardless of model compute dtype:
+        # 50 accumulating update steps in bf16 would drift past the 1e-2
+        # parity budget; the model casts activations internally.
         if seeds is None:
             key = jax.random.PRNGKey(seed)
             return jax.random.normal(
                 key,
                 (num_imgs, self.model.n_channels, img_size, img_size),
-                dtype=self.model_dtype,
+                dtype=jnp.float32,
             )
-        return jnp.asarray(seeds, dtype=self.model_dtype)
+        return jnp.asarray(seeds, dtype=jnp.float32)
 
     def generate(
         self,
@@ -161,7 +171,7 @@ class DiffusionGenerator:
         n_steps = len(noise_levels) - 1
 
         x_t = self.initialize_image(seeds, num_imgs, img_size, seed)
-        labels = jnp.asarray(labels, dtype=self.model_dtype)
+        labels = jnp.asarray(labels, dtype=jnp.float32)
         labels_cat = jnp.concatenate([labels, jnp.zeros_like(labels)], axis=0)
 
         run = self._sample_fn(n_steps, tuple(x_t.shape))
@@ -169,10 +179,10 @@ class DiffusionGenerator:
             self.params,
             x_t,
             labels_cat,
-            jnp.asarray(noise_levels, dtype=self.model_dtype),
-            jnp.asarray(c1, dtype=self.model_dtype),
-            jnp.asarray(c2, dtype=self.model_dtype),
-            jnp.asarray(class_guidance, dtype=self.model_dtype),
+            jnp.asarray(noise_levels, dtype=jnp.float32),
+            jnp.asarray(c1, dtype=jnp.float32),
+            jnp.asarray(c2, dtype=jnp.float32),
+            jnp.asarray(class_guidance, dtype=jnp.float32),
         )
 
         # latent "editing": sharpness / brightness channel shifts

@@ -17,6 +17,7 @@ import os
 from dataclasses import asdict
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -129,8 +130,17 @@ class DiffusionTransformer:
             vocab_path=cfg.clip_cfg.vocab_path,
         )
 
+        fast_apply = None
+        if use_pallas and jax.default_backend() not in ("cpu",):
+            from transformer_latent_diffusion_tpu.models.fast_denoiser import (
+                make_fused_apply,
+            )
+
+            fast_apply = make_fused_apply(cfg.denoiser_cfg, compute_dtype=dtype)
+
         self.diffuser = DiffusionGenerator(
-            model=denoiser, params=params, vae=self.vae, model_dtype=dtype
+            model=denoiser, params=params, vae=self.vae, model_dtype=dtype,
+            fast_apply=fast_apply,
         )
 
     def generate_image_from_text(

@@ -1,0 +1,191 @@
+"""HTTP serving for text-to-image generation.
+
+Capability parity with the reference FastAPI service
+(/root/reference/tld/app.py): `GET /` welcome JSON, `POST /generate-image/`
+with bearer-token auth against the API_TOKEN env var, request schema
+{prompt, class_guidance=6, seed=11, num_imgs=1, img_size=32}, JPEG
+streaming response, 401 on bad token, 500 with detail on generation error.
+
+Two frontends over one core handler:
+  * `create_fastapi_app` — used when fastapi is installed (same routes /
+    pydantic schema / OAuth2PasswordBearer semantics as the reference);
+  * `create_wsgi_app` — dependency-free stdlib WSGI app with identical
+    behaviour, servable by wsgiref/gunicorn and testable in-process.
+
+`create_app()` picks fastapi when importable, else WSGI. The module-level
+`app` (built on first access, with the default LTDConfig like the
+reference's import-time init) supports `uvicorn
+transformer_latent_diffusion_tpu.serve.app:app`.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import os
+from typing import Optional
+
+from transformer_latent_diffusion_tpu.configs import LTDConfig
+
+
+class GenerationService:
+    """Model wrapper shared by both frontends."""
+
+    def __init__(self, cfg: Optional[LTDConfig] = None, transformer=None):
+        from transformer_latent_diffusion_tpu.sampling import DiffusionTransformer
+
+        self.transformer = transformer or DiffusionTransformer(cfg or LTDConfig())
+
+    def generate_jpeg(self, prompt: str, class_guidance: float = 6,
+                      seed: int = 11, num_imgs: int = 1,
+                      img_size: int = 32) -> bytes:
+        img = self.transformer.generate_image_from_text(
+            prompt=prompt, class_guidance=class_guidance, seed=seed,
+            num_imgs=num_imgs, img_size=img_size,
+        )
+        buf = io.BytesIO()
+        img.save(buf, format="JPEG")
+        return buf.getvalue()
+
+
+WELCOME = {"message": "Welcome to Image Generator"}
+REQUEST_DEFAULTS = {"class_guidance": 6, "seed": 11, "num_imgs": 1, "img_size": 32}
+
+
+def _check_token(auth_header: Optional[str]):
+    """Returns (status, detail). 401 semantics match FastAPI's
+    OAuth2PasswordBearer + the reference's token check (app.py:26-32)."""
+    if not auth_header or not auth_header.lower().startswith("bearer "):
+        return 401, "Not authenticated"
+    token = auth_header[7:]
+    if token != os.getenv("API_TOKEN"):
+        return 401, "Invalid authentication credentials"
+    return 200, None
+
+
+# ------------------------------- WSGI ---------------------------------------
+
+
+def create_wsgi_app(cfg: Optional[LTDConfig] = None, service=None):
+    svc = service or GenerationService(cfg)
+
+    def app(environ, start_response):
+        method = environ["REQUEST_METHOD"]
+        path = environ.get("PATH_INFO", "/")
+
+        def respond(status_code, body, content_type="application/json"):
+            reasons = {200: "OK", 401: "Unauthorized", 404: "Not Found",
+                       405: "Method Not Allowed", 422: "Unprocessable Entity",
+                       500: "Internal Server Error"}
+            headers = [("Content-Type", content_type),
+                       ("Content-Length", str(len(body)))]
+            if status_code == 401:
+                headers.append(("WWW-Authenticate", "Bearer"))
+            start_response(f"{status_code} {reasons[status_code]}", headers)
+            return [body]
+
+        if path == "/" and method == "GET":
+            return respond(200, json.dumps(WELCOME).encode())
+
+        if path == "/generate-image/" and method == "POST":
+            status, detail = _check_token(environ.get("HTTP_AUTHORIZATION"))
+            if status != 200:
+                return respond(status, json.dumps({"detail": detail}).encode())
+            try:
+                length = int(environ.get("CONTENT_LENGTH") or 0)
+                payload = json.loads(environ["wsgi.input"].read(length) or b"{}")
+                if "prompt" not in payload:
+                    return respond(
+                        422, json.dumps({"detail": "prompt is required"}).encode())
+                kwargs = {k: payload.get(k, v) for k, v in REQUEST_DEFAULTS.items()}
+                jpeg = svc.generate_jpeg(prompt=payload["prompt"], **kwargs)
+                return respond(200, jpeg, content_type="image/jpeg")
+            except Exception as e:  # 500 semantics: reference app.py:64-65
+                return respond(500, json.dumps({"detail": str(e)}).encode())
+
+        return respond(404, json.dumps({"detail": "Not Found"}).encode())
+
+    app.service = svc
+    return app
+
+
+# ------------------------------ FastAPI --------------------------------------
+
+
+def create_fastapi_app(cfg: Optional[LTDConfig] = None, service=None):
+    from fastapi import Depends, FastAPI, HTTPException, status
+    from fastapi.responses import StreamingResponse
+    from fastapi.security import OAuth2PasswordBearer
+    from pydantic import BaseModel
+
+    svc = service or GenerationService(cfg)
+    app = FastAPI()
+    oauth2_scheme = OAuth2PasswordBearer(tokenUrl="token")
+
+    def validate_token(token: str = Depends(oauth2_scheme)):
+        if token != os.getenv("API_TOKEN"):
+            raise HTTPException(
+                status_code=status.HTTP_401_UNAUTHORIZED,
+                detail="Invalid authentication credentials",
+                headers={"WWW-Authenticate": "Bearer"},
+            )
+
+    class ImageRequest(BaseModel):
+        prompt: str
+        class_guidance: int = 6
+        seed: int = 11
+        num_imgs: int = 1
+        img_size: int = 32
+
+    @app.get("/")
+    def read_root():
+        return WELCOME
+
+    @app.post("/generate-image/")
+    async def generate_image(request: ImageRequest,
+                             token: str = Depends(validate_token)):
+        try:
+            jpeg = svc.generate_jpeg(
+                prompt=request.prompt, class_guidance=request.class_guidance,
+                seed=request.seed, num_imgs=request.num_imgs,
+                img_size=request.img_size,
+            )
+            return StreamingResponse(io.BytesIO(jpeg), media_type="image/jpeg")
+        except Exception as e:
+            raise HTTPException(status_code=500, detail=str(e))
+
+    app.state.service = svc
+    return app
+
+
+def create_app(cfg: Optional[LTDConfig] = None, service=None):
+    try:
+        import fastapi  # noqa: F401
+
+        return create_fastapi_app(cfg, service)
+    except ImportError:
+        return create_wsgi_app(cfg, service)
+
+
+def serve(cfg: Optional[LTDConfig] = None, host: str = "0.0.0.0",
+          port: int = 8000):
+    """Run the service: uvicorn when available, else wsgiref."""
+    try:
+        import fastapi  # noqa: F401
+        import uvicorn
+
+        uvicorn.run(create_fastapi_app(cfg), host=host, port=port)
+    except ImportError:
+        from wsgiref.simple_server import make_server
+
+        print(f"serving (wsgiref) on {host}:{port}")
+        make_server(host, port, create_wsgi_app(cfg)).serve_forever()
+
+
+def __getattr__(name):
+    # module-level `app` built on first access (reference builds at import,
+    # app.py:18-19; lazy here so importing the module stays cheap)
+    if name == "app":
+        globals()["app"] = create_app()
+        return globals()["app"]
+    raise AttributeError(name)
