@@ -1,24 +1,31 @@
 """Fused inference engine for the denoiser (Pallas hot path).
 
-A pure function over the SAME param pytree as `models.denoiser.Denoiser`
-(so checkpoints, EMA params and converted torch weights are shared), but
-executing each decoder block through the fused Pallas kernels in
-`ops/fused_block.py`. This is the sampling-time engine the reference
-reaches via torch SDPA + torch.compile (transformer_blocks.py:37,
-train.py:90); training and autodiff keep the linen path.
+A pure-function engine over the SAME param pytree as
+`models.denoiser.Denoiser` (checkpoints, EMA params and converted torch
+weights are shared), executing the 12-layer decoder through the
+multi-layer stacked Pallas kernel in `ops/fused_stack.py` — K layers per
+pallas_call with all K layers' weights VMEM-resident. This is the
+sampling-time engine the reference reaches via torch SDPA + torch.compile
+(transformer_blocks.py:37, train.py:90); training and autodiff keep the
+linen path.
 
-Numerical contract: f32 LayerNorm/softmax/accumulation inside the kernels;
+The engine exposes `prepare(params)` (stacks per-layer weights; the
+sampler hoists this out of the 50-step scan so it runs once per
+generation) and `apply_prepared(...)`; plain `__call__(params, ...)`
+composes both for single-shot use.
+
+Numerical contract: f32 LayerNorm/softmax/accumulation inside kernels,
 activations cross layers in `compute_dtype` (bf16 on TPU). Asserted
 against the linen path by tests/test_fused_kernels.py.
 """
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Any
+from typing import Any, Dict, List
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from transformer_latent_diffusion_tpu.configs import DenoiserConfig
 from transformer_latent_diffusion_tpu.models.blocks import (
@@ -27,10 +34,12 @@ from transformer_latent_diffusion_tpu.models.blocks import (
     sinusoidal_embedding,
 )
 from transformer_latent_diffusion_tpu.models.denoiser import patchify, unpatchify
-from transformer_latent_diffusion_tpu.ops.fused_block import (
-    fused_attention_pair,
-    fused_mlp_sepconv,
+from transformer_latent_diffusion_tpu.ops.fused_stack import (
+    fused_layer_stack,
+    pack_layer_stack,
 )
+
+_WEIGHT_VMEM_BUDGET = 72 * 1024 * 1024
 
 
 def _ln(x, p):
@@ -48,68 +57,81 @@ def _dense(x, p, dtype):
     return out
 
 
-def make_fused_apply(cfg: DenoiserConfig, compute_dtype=jnp.bfloat16,
-                     interpret: bool = False):
-    """Build `apply(params, x, noise_level, label) -> x0_pred`.
+def _pick_layers_per_call(cfg: DenoiserConfig, itemsize: int) -> int:
+    d = cfg.embed_dim
+    hid = cfg.mlp_multiplier * d
+    per_layer = (6 * d * d + 2 * d * hid) * itemsize
+    best = 1
+    for k in range(1, cfg.n_layers + 1):
+        if cfg.n_layers % k == 0 and k * per_layer <= _WEIGHT_VMEM_BUDGET:
+            best = k
+    return best
 
-    Mirrors Denoiser.__call__ (models/denoiser.py) exactly; reference
-    semantics per /root/reference/tld/denoiser.py:116-126.
-    """
-    n_heads = cfg.embed_dim // 64
-    p_sz = cfg.patch_size
 
-    def apply(params: Any, x: jax.Array, noise_level: jax.Array,
-              label: jax.Array) -> jax.Array:
-        dt = compute_dtype
-        # --- conditioning: fourier feats + label proj -> LN -> (B, 2, D)
+class FusedEngine:
+    """Callable engine with a hoistable weight-packing stage."""
+
+    def __init__(self, cfg: DenoiserConfig, compute_dtype=jnp.bfloat16,
+                 interpret: bool = False, layers_per_call: int | None = None):
+        self.cfg = cfg
+        self.dtype = compute_dtype
+        self.interpret = interpret
+        self.n_heads = cfg.embed_dim // 64
+        self.layers_per_call = layers_per_call or _pick_layers_per_call(
+            cfg, jnp.dtype(compute_dtype).itemsize)
+
+    def prepare(self, params: Dict[str, Any]):
+        """Stack per-layer weights into K-layer groups (run once, outside
+        the sampling scan)."""
+        groups: List[Dict[str, Any]] = []
+        k = self.layers_per_call
+        for start in range(0, self.cfg.n_layers, k):
+            groups.append(pack_layer_stack(
+                params, list(range(start, start + k)), self.dtype))
+        return {"params": params, "groups": groups}
+
+    def apply_prepared(self, prepared, x, noise_level, label):
+        params = prepared["params"]
+        cfg = self.cfg
+        dt = self.dtype
+
+        # --- conditioning (reference denoiser.py:116-122) ---
         nemb = sinusoidal_embedding(noise_level.astype(dt), cfg.noise_embed_dims)
         nemb = _dense(nemb, params["fourier_dense1"], dt)
         nemb = _gelu(nemb)
         nemb = _dense(nemb, params["fourier_dense2"], dt)
         lemb = _dense(label.astype(dt), params["label_proj"], dt)
-        cond = jnp.stack([nemb, lemb], axis=1)
+        cond = jnp.stack([nemb, lemb], axis=1)            # (B, 2, D)
         cond = _ln(cond, params["cond_norm"])
 
         tb = params["denoiser_trans_block"]
         b, c, hh, ww = x.shape
+        p_sz = cfg.patch_size
         h, w = hh // p_sz, ww // p_sz
 
         tokens = patchify(x, p_sz).astype(dt)
         tokens = _ln(_dense(tokens, tb["patch_proj"], dt), tb["patch_norm1"])
         tokens = _ln(_dense(tokens, tb["embed_proj"], dt), tb["patch_norm2"])
-
         pos = jax.lax.slice_in_dim(tb["pos_embed"], 0, h * w, axis=0)
         tokens = tokens + pos.astype(dt)[None]
 
-        for i in range(cfg.n_layers):
-            blk = tb[f"decoder_block_{i}"]
-            # pre-project the 2-token conditioning KV outside the kernel
-            kv = _dense(cond, blk["cross_attention"]["kv_linear"], dt)
-            k_cond, v_cond = jnp.split(kv, 2, axis=-1)
-
-            tokens = fused_attention_pair(
-                tokens,
-                blk["norm1"]["scale"], blk["norm1"]["bias"],
-                blk["self_attention"]["qkv_linear"]["kernel"].astype(dt),
-                blk["norm2"]["scale"], blk["norm2"]["bias"],
-                blk["cross_attention"]["q_linear"]["kernel"].astype(dt),
-                k_cond, v_cond,
-                n_heads=n_heads,
-                interpret=interpret,
-            )
-            mlp = blk["mlp"]
-            tokens = fused_mlp_sepconv(
-                tokens,
-                blk["norm3"]["scale"], blk["norm3"]["bias"],
-                mlp["expand"]["kernel"].astype(dt), mlp["expand"]["bias"],
-                mlp["depthwise_kernel"][:, :, 0, :].astype(dt),
-                mlp["depthwise_bias"],
-                mlp["contract"]["kernel"].astype(dt), mlp["contract"]["bias"],
-                hw=h,
-                interpret=interpret,
+        for group in prepared["groups"]:
+            tokens = fused_layer_stack(
+                tokens, cond, group, hw=h, n_heads=self.n_heads,
+                interpret=self.interpret,
             )
 
         out = _dense(tokens, tb["out_proj"], dt)
         return unpatchify(out.astype(jnp.float32), p_sz, h, w, cfg.n_channels)
 
-    return apply
+    def __call__(self, params, x, noise_level, label):
+        return self.apply_prepared(self.prepare(params), x, noise_level, label)
+
+
+def make_fused_apply(cfg: DenoiserConfig, compute_dtype=jnp.bfloat16,
+                     interpret: bool = False,
+                     layers_per_call: int | None = None) -> FusedEngine:
+    """Build the fused engine. Mirrors Denoiser.__call__
+    (models/denoiser.py; reference semantics /root/reference/tld/denoiser.py:116-126)."""
+    return FusedEngine(cfg, compute_dtype=compute_dtype, interpret=interpret,
+                       layers_per_call=layers_per_call)

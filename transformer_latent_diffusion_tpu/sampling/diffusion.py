@@ -88,24 +88,35 @@ class DiffusionGenerator:
         model = self.model
         fast_apply = self.fast_apply
 
-        def pred_x0(params, x_t, labels_cat, noise_level, class_guidance):
+        def prepare(params):
+            # weight packing for the fused engine runs once per generate,
+            # hoisted out of the 50-step scan
+            if fast_apply is not None and hasattr(fast_apply, "prepare"):
+                return fast_apply.prepare(params)
+            return params
+
+        def pred_x0(prepared, x_t, labels_cat, noise_level, class_guidance):
             """Double-batch CFG denoiser call (reference diffusion.py:94-103)."""
             num = x_t.shape[0]
             x2 = jnp.concatenate([x_t, x_t], axis=0)
             noises = jnp.full((2 * num, 1), noise_level, dtype=x_t.dtype)
-            if fast_apply is not None:
-                x0 = fast_apply(params, x2, noises, labels_cat)
+            if fast_apply is not None and hasattr(fast_apply, "prepare"):
+                x0 = fast_apply.apply_prepared(prepared, x2, noises, labels_cat)
+            elif fast_apply is not None:
+                x0 = fast_apply(prepared, x2, noises, labels_cat)
             else:
-                x0 = model.apply({"params": params}, x2, noises, labels_cat)
+                x0 = model.apply({"params": prepared}, x2, noises, labels_cat)
             cond, uncond = x0[:num], x0[num:]
             return class_guidance * cond + (1.0 - class_guidance) * uncond
 
         @jax.jit
         def run(params, x_init, labels_cat, noise_levels, c1, c2, class_guidance):
+            prepared = prepare(params)
+
             def step(carry, inputs):
                 x_t, x0_prev = carry
                 curr, nxt, a, b = inputs
-                x0 = pred_x0(params, x_t, labels_cat, curr, class_guidance)
+                x0 = pred_x0(prepared, x_t, labels_cat, curr, class_guidance)
                 d = a * x0 + b * x0_prev
                 x_t = ((curr - nxt) * d + nxt * x_t) / curr
                 return (x_t, x0), None
@@ -120,7 +131,7 @@ class DiffusionGenerator:
                 step, (x_init, jnp.zeros_like(x_init)), xs, length=n_steps
             )
             # final extra denoise at the last level (reference diffusion.py:85)
-            x0 = pred_x0(params, x_t, labels_cat, noise_levels[-1], class_guidance)
+            x0 = pred_x0(prepared, x_t, labels_cat, noise_levels[-1], class_guidance)
             return x0
 
         self._compiled[key] = run

@@ -139,8 +139,11 @@ def _build_train_step(model: Denoiser, optimizer, train_cfg, vae_scale_factor):
     return train_step
 
 
-def main(config: ModelConfig) -> Dict[str, Any]:
-    """Main train loop. Parity: reference train.py:62-176."""
+def main(config: ModelConfig, init_params: Optional[Any] = None) -> Dict[str, Any]:
+    """Main train loop. Parity: reference train.py:62-176.
+
+    init_params: optional warm-start param tree (e.g. pos-embed-upsampled
+    weights from train.highres for 512/1024px fine-tunes)."""
     denoiser_config = config.denoiser_config
     train_config = config.train_config
     dataconfig = config.data_config
@@ -187,7 +190,11 @@ def main(config: ModelConfig) -> Dict[str, Any]:
     model = Denoiser(**asdict(denoiser_config), dtype=compute_dtype)
     eval_model = model
 
-    params = init_denoiser_params(model, denoiser_config, seed=train_config.seed)
+    if init_params is not None:
+        params = jax.tree.map(jnp.asarray, init_params)
+    else:
+        params = init_denoiser_params(model, denoiser_config,
+                                      seed=train_config.seed)
     optimizer = optax.adam(train_config.lr)
     opt_state = optimizer.init(params)
 
