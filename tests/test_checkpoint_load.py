@@ -1,0 +1,100 @@
+"""Weight loading paths: torch .pth checkpoints via DenoiserLoad (the
+reference's pretrained-model flow, diffusion.py:148-153) and flax .npz."""
+
+import sys
+from dataclasses import asdict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from transformer_latent_diffusion_tpu.configs import (
+    ClipConfig,
+    DenoiserConfig,
+    DenoiserLoad,
+    LTDConfig,
+    VaeConfig,
+)
+
+try:
+    sys.path.insert(0, "/root/reference")
+    import torch
+    from tld.denoiser import Denoiser as TorchDenoiser
+
+    HAVE_REFERENCE = True
+except Exception:  # pragma: no cover
+    HAVE_REFERENCE = False
+
+
+@pytest.mark.skipif(not HAVE_REFERENCE, reason="reference/torch unavailable")
+def test_diffusion_transformer_loads_torch_checkpoint(tmp_path):
+    cfg_d = DenoiserConfig()
+    torch.manual_seed(3)
+    tmodel = TorchDenoiser(**asdict(cfg_d))
+    ckpt = str(tmp_path / "weights.pth")
+    torch.save(tmodel.state_dict(), ckpt)
+
+    cfg = LTDConfig(
+        denoiser_cfg=cfg_d,
+        denoiser_load=DenoiserLoad(local_filename=ckpt),
+        vae_cfg=VaeConfig(block_out_channels=(8, 16), layers_per_block=1),
+        clip_cfg=ClipConfig(width=64, heads=2, layers=2),
+        use_pallas=False,
+    )
+    from transformer_latent_diffusion_tpu.sampling import DiffusionTransformer
+
+    dt = DiffusionTransformer(cfg)
+    # loaded params must match the torch weights (spot check one tensor)
+    got = np.asarray(dt.diffuser.params["label_proj"]["kernel"])
+    want = tmodel.label_proj.weight.detach().numpy().T
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+    img = dt.generate_image_from_text("a cute cat", n_iter=3)
+    assert img is not None
+
+
+@pytest.mark.skipif(not HAVE_REFERENCE, reason="reference/torch unavailable")
+def test_training_style_checkpoint_with_ema_key(tmp_path):
+    """Reference training checkpoints wrap weights as {'model_ema': ...}
+    (train.py:151-155); the loader unwraps them."""
+    from transformer_latent_diffusion_tpu.sampling.pipeline import (
+        load_denoiser_params,
+    )
+    from transformer_latent_diffusion_tpu.models import Denoiser
+
+    cfg_d = DenoiserConfig()
+    tmodel = TorchDenoiser(**asdict(cfg_d))
+    ckpt = str(tmp_path / "full_state.pth")
+    torch.save({"model_ema": tmodel.state_dict(), "opt_state": {},
+                "global_step": 7}, ckpt)
+
+    model = Denoiser(**asdict(cfg_d))
+    params = load_denoiser_params(ckpt, model, cfg_d)
+    got = np.asarray(params["label_proj"]["kernel"])
+    want = tmodel.label_proj.weight.detach().numpy().T
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_npz_roundtrip(tmp_path):
+    from transformer_latent_diffusion_tpu.models import Denoiser
+    from transformer_latent_diffusion_tpu.train.checkpoint import (
+        save_npz,
+        unflatten_npz,
+    )
+    from transformer_latent_diffusion_tpu.utils import init_denoiser_params
+
+    cfg_d = DenoiserConfig(image_size=8, embed_dim=64, n_layers=2,
+                           noise_embed_dims=64)
+    model = Denoiser(**asdict(cfg_d))
+    params = init_denoiser_params(model, cfg_d)
+    path = str(tmp_path / "w.npz")
+    save_npz(path, params)
+    restored = unflatten_npz(path)
+
+    flat_a = jax.tree_util.tree_leaves_with_path(params)
+    for kp, leaf in flat_a:
+        node = restored
+        for k in kp:
+            node = node[k.key]
+        np.testing.assert_array_equal(np.asarray(leaf), node)

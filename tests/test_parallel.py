@@ -1,0 +1,79 @@
+"""Mesh + sharding rule tests on the 8-virtual-device CPU mesh, plus the
+driver entry points in __graft_entry__.py."""
+
+import importlib.util
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import PartitionSpec as P
+
+from transformer_latent_diffusion_tpu.parallel import (
+    DATA_AXIS,
+    MODEL_AXIS,
+    batch_sharding,
+    create_mesh,
+    param_shardings,
+)
+
+
+def test_create_mesh_default_all_data():
+    mesh = create_mesh()
+    assert mesh.shape[DATA_AXIS] == 8
+    assert mesh.shape[MODEL_AXIS] == 1
+
+
+def test_create_mesh_dp_tp():
+    mesh = create_mesh((2, 4))
+    assert mesh.shape[DATA_AXIS] == 2
+    assert mesh.shape[MODEL_AXIS] == 4
+
+
+def test_param_sharding_rules():
+    mesh = create_mesh((2, 4))
+    params = {
+        "decoder_block_0": {
+            "self_attention": {"qkv_linear": {"kernel": jnp.zeros((128, 384))}},
+            "mlp": {
+                "expand": {"kernel": jnp.zeros((128, 512))},
+                "contract": {"kernel": jnp.zeros((512, 128))},
+            },
+            "norm1": {"scale": jnp.zeros((128,))},
+        },
+        "pos_embed": jnp.zeros((64, 128)),
+    }
+    sh = param_shardings(params, mesh)
+    blk = sh["decoder_block_0"]
+    assert blk["self_attention"]["qkv_linear"]["kernel"].spec == P(None, MODEL_AXIS)
+    assert blk["mlp"]["expand"]["kernel"].spec == P(None, MODEL_AXIS)
+    assert blk["mlp"]["contract"]["kernel"].spec == P(MODEL_AXIS, None)
+    assert blk["norm1"]["scale"].spec == P()
+    assert sh["pos_embed"].spec == P()
+
+
+def test_param_sharding_skips_indivisible():
+    mesh = create_mesh((2, 4))
+    params = {"expand": {"kernel": jnp.zeros((16, 30))}}  # 30 % 4 != 0
+    sh = param_shardings(params, mesh)
+    assert sh["expand"]["kernel"].spec == P()
+
+
+def test_batch_sharding_places_batch_on_data_axis():
+    mesh = create_mesh((8, 1))
+    x = jax.device_put(np.ones((16, 3)), batch_sharding(mesh))
+    assert x.sharding.spec == P(DATA_AXIS)
+    assert len(x.addressable_shards) == 8
+
+
+def test_graft_entry_and_dryrun():
+    spec = importlib.util.spec_from_file_location("graft_entry",
+                                                  "/root/repo/__graft_entry__.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    fn, args = mod.entry()
+    out = jax.jit(fn)(*args)
+    assert out.shape == (8, 4, 32, 32)
+
+    mod.dryrun_multichip(8)
+    mod.dryrun_multichip(4)

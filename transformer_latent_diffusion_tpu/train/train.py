@@ -168,10 +168,13 @@ def main(config: ModelConfig, init_params: Optional[Any] = None) -> Dict[str, An
             log("wandb not available; logging to stdout")
 
     log("Loading Data:")
-    latent_train_data = np.load(dataconfig.latent_path).astype(np.float32)
-    train_label_embeddings = np.load(dataconfig.text_emb_path).astype(np.float32)
+    from transformer_latent_diffusion_tpu.data.loader import LatentBatcher
+
+    batcher = LatentBatcher(
+        dataconfig.latent_path, dataconfig.text_emb_path,
+        batch_size=train_config.batch_size, seed=train_config.seed,
+    )
     emb_val = np.load(dataconfig.val_path).astype(np.float32)
-    n_data = len(latent_train_data)
 
     # VAE is only needed for eval decode; build lazily on first eval
     _vae_cache = []
@@ -250,23 +253,14 @@ def main(config: ModelConfig, init_params: Optional[Any] = None) -> Dict[str, An
 
     log(f"{count_parameters(state['params'])} parameters")
 
-    batch_size = train_config.batch_size
-    steps_per_epoch = max(1, n_data // batch_size) if n_data >= batch_size else 1
-    eff_bs = min(batch_size, n_data)
-
     rng = jax.random.PRNGKey(train_config.seed)
-    data_rng = np.random.default_rng(train_config.seed)
 
     losses = []
     for epoch in range(1, train_config.n_epoch + 1):
         log(f"epoch: {epoch}")
-        perm = data_rng.permutation(n_data)
-        for it in range(steps_per_epoch):
-            idx = perm[(it * eff_bs) % n_data : (it * eff_bs) % n_data + eff_bs]
-            if len(idx) < eff_bs:  # wrap around to keep shapes static
-                idx = np.concatenate([idx, perm[: eff_bs - len(idx)]])
-            x = jax.device_put(latent_train_data[idx], b_shard)
-            y = jax.device_put(train_label_embeddings[idx], b_shard)
+        for x_host, y_host in batcher.epoch():
+            x = jax.device_put(x_host, b_shard)
+            y = jax.device_put(y_host, b_shard)
 
             if global_step % train_config.save_and_eval_every_iters == 0:
                 if is_main:
