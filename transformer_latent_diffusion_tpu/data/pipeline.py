@@ -28,7 +28,7 @@ import json
 import os
 import tarfile
 from dataclasses import asdict
-from typing import Iterator, List, Optional, Sequence, Tuple, Union
+from typing import Iterator, List, Sequence, Tuple, Union
 
 import jax
 import jax.numpy as jnp

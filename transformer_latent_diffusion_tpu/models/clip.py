@@ -25,7 +25,6 @@ import gzip
 import hashlib
 import os
 from dataclasses import dataclass, field
-from functools import partial
 from typing import Any, Dict, List, Optional, Sequence, Union
 
 import jax

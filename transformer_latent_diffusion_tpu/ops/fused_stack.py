@@ -29,7 +29,6 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from transformer_latent_diffusion_tpu.ops.fused_block import (
-    _erf_poly,
     _gelu_exact,
     _ln_f32,
     _mm,

@@ -15,10 +15,8 @@ from __future__ import annotations
 import math
 import os
 from dataclasses import asdict
-from typing import Optional
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from transformer_latent_diffusion_tpu.configs import (

@@ -15,7 +15,6 @@ change; sequence length scales as (image_size/patch)^2 (256 -> 1024 ->
 
 from __future__ import annotations
 
-import copy
 from typing import Any, Dict
 
 from transformer_latent_diffusion_tpu.models.denoiser import resize_pos_embed

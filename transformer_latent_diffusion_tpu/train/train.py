@@ -20,9 +20,7 @@ a `lax.scan` over microbatches inside the same program.
 from __future__ import annotations
 
 import os
-import time
 from dataclasses import asdict
-from functools import partial
 from typing import Any, Dict, Optional
 
 import jax

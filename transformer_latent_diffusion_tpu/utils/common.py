@@ -7,8 +7,6 @@ Covers the reference helpers `count_parameters` (train.py:43),
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 import numpy as np
