@@ -1,0 +1,68 @@
+"""Utility parity tests: image-grid layout vs torchvision, PIL conversion,
+and the CLIP BPE tokenizer file path."""
+
+import gzip
+
+import numpy as np
+import pytest
+
+from transformer_latent_diffusion_tpu.utils import make_grid, to_pil
+
+
+def test_make_grid_matches_torchvision():
+    torch = pytest.importorskip("torch")
+    torchvision = pytest.importorskip("torchvision")
+    import torchvision.utils as vutils
+
+    rng = np.random.default_rng(0)
+    imgs = rng.uniform(size=(5, 3, 8, 8)).astype(np.float32)
+    got = make_grid(imgs, nrow=3, padding=2)
+    want = vutils.make_grid(torch.from_numpy(imgs), nrow=3, padding=2).numpy()
+    assert got.shape == want.shape
+    # interior tiles match exactly; torchvision pads edges identically with 0
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_to_pil():
+    img = np.zeros((3, 4, 4), dtype=np.float32)
+    img[0] = 1.0
+    pil = to_pil(img)
+    assert pil.size == (4, 4)
+    arr = np.asarray(pil)
+    assert arr[0, 0, 0] == 255 and arr[0, 0, 1] == 0
+
+
+def test_bpe_tokenizer_with_synthetic_vocab(tmp_path):
+    from transformer_latent_diffusion_tpu.models.clip import (
+        BpeTokenizer,
+        tokenize,
+        SOT_TOKEN,
+        EOT_TOKEN,
+    )
+
+    vocab_path = str(tmp_path / "vocab.txt.gz")
+    with gzip.open(vocab_path, "wt", encoding="utf-8") as f:
+        f.write("#version: 0.2\n")
+        f.write("c a\nca t</w>\nd o\ndo g</w>\n")
+
+    tok = BpeTokenizer(vocab_path)
+    ids_cat = tok.encode("cat")
+    ids_dog = tok.encode("dog")
+    # fully merged words -> single token each
+    assert len(ids_cat) == 1 and len(ids_dog) == 1
+    assert ids_cat != ids_dog
+    # unknown word falls apart into byte/merge pieces, still encodable
+    assert len(tok.encode("catdog")) >= 1
+
+    arr = tokenize(["cat dog"], tok)
+    assert arr.shape == (1, 77)
+    assert arr[0, 0] == SOT_TOKEN
+    assert EOT_TOKEN in arr[0]
+
+
+def test_hash_tokenizer_stable():
+    from transformer_latent_diffusion_tpu.models.clip import HashTokenizer
+
+    t = HashTokenizer()
+    assert t.encode("a cute cat") == t.encode("A  Cute Cat")  # normalization
+    assert t.encode("cat") != t.encode("dog")

@@ -295,5 +295,6 @@ def main(config: ModelConfig, init_params: Optional[Any] = None) -> Dict[str, An
     if train_config.save_model and ckpt_mgr is not None:
         ckpt_mgr.save(global_step, jax.device_get(state))
 
-    log(f"final loss {np.mean(losses[-10:]):.5f}")
+    if losses:
+        log(f"final loss {np.mean(losses[-10:]):.5f}")
     return {"state": state, "losses": losses, "global_step": global_step}
