@@ -133,3 +133,65 @@ def test_append_to_dataset(tmp_path):
         append_to_dataset(ds, np.zeros((1, 3)))
         assert ds.shape == (3, 3)
         assert ds[0, 0] == 1 and ds[2, 0] == 0
+
+
+def test_data_main_end_to_end(tmp_path, monkeypatch):
+    """Full data.main flow (reference data.py:177-214) without network:
+    parquet -> imgs.csv -> pre-downloaded tar shards -> HDF5 + config.json."""
+    import pandas as pd
+    from transformer_latent_diffusion_tpu.configs import DataDownloadConfig
+    from transformer_latent_diffusion_tpu.data import main as data_main
+    import transformer_latent_diffusion_tpu.data.pipeline as pipeline_mod
+
+    monkeypatch.chdir(tmp_path)
+
+    # parquet of (key, url, caption)
+    parquet = str(tmp_path / "data.parquet")
+    pd.DataFrame({
+        "key": [f"k{i}" for i in range(6)],
+        "url": [f"http://x/{i}" for i in range(6)],
+        "caption": [f"caption {i}" for i in range(6)],
+        "extra": list(range(6)),
+    }).to_parquet(parquet)
+
+    # pre-downloaded shard (download_data=False path)
+    raw = tmp_path / "raw_imgs"
+    raw.mkdir()
+    _make_tar_shard(str(raw / "00000.tar"), 4, image_size=16)
+
+    # tiny towers so the encode loop is fast
+    from transformer_latent_diffusion_tpu.models.clip import FlaxClip
+    from transformer_latent_diffusion_tpu.models.vae import FlaxVae
+    tiny_vae = FlaxVae.create(block_out_channels=(8, 16), layers_per_block=1)
+    tiny_clip = FlaxClip.create(width=64, heads=2, layers=2)
+    orig = pipeline_mod.download_and_process_data
+
+    def patched(**kw):
+        kw.update(vae=tiny_vae, clip_model=tiny_clip)
+        return orig(**kw)
+
+    monkeypatch.setattr(pipeline_mod, "download_and_process_data", patched)
+
+    cfg = DataDownloadConfig(
+        data_link=parquet,
+        latent_save_path=str(tmp_path / "latents"),
+        raw_imgs_save_path=str(raw),
+        initial_csv_path=str(tmp_path / "imgs.csv"),
+        download_data=False,
+        first_n_rows=5,
+        image_size=16,
+        batch_size=2,
+        use_wandb=False,
+    )
+    data_main(cfg)
+
+    csv = pd.read_csv(tmp_path / "imgs.csv")
+    assert list(csv.columns) == ["key", "url", "caption"] and len(csv) == 5
+    assert os.path.exists(tmp_path / "latents" / "config.json")
+    with h5py.File(tmp_path / "latents" / "image_latents.hdf5") as f:
+        # tiny VAE downsamples x2: 16px -> 8x8 latents
+        assert f["image_latents"].shape == (4, 4, 8, 8)
+    with h5py.File(tmp_path / "latents" / "text_encodings.hdf5") as f:
+        assert f["text_encodings"].shape == (4, 768)
+    meta = open(tmp_path / "latents" / "metadata.csv").read()
+    assert "caption 0" in meta

@@ -153,27 +153,25 @@ def get_text_and_latent_embeddings_hdf5(
     text_embed_path = os.path.join(drive_save_path, "text_encodings.hdf5")
     metadata_csv_path = os.path.join(drive_save_path, "metadata.csv")
 
+    def _get_ds(f, name, row_shape):
+        # dataset rows are sized from the first actually-encoded batch (the
+        # reference hardcodes (4,32,32)/(768,); deriving keeps any VAE
+        # architecture / image size valid)
+        if name not in f:
+            return f.create_dataset(
+                name, shape=(0, *row_shape), maxshape=(None, *row_shape),
+                dtype="float16", chunks=True,
+            )
+        return f[name]
+
     with h5py.File(img_latent_path, "a") as img_file, \
             h5py.File(text_embed_path, "a") as text_file:
-        if "image_latents" not in img_file:
-            img_ds = img_file.create_dataset(
-                "image_latents", shape=(0, *latent_shape),
-                maxshape=(None, *latent_shape), dtype="float16", chunks=True,
-            )
-        else:
-            img_ds = img_file["image_latents"]
-        if "text_encodings" not in text_file:
-            text_ds = text_file.create_dataset(
-                "text_encodings", shape=(0, text_emb_size),
-                maxshape=(None, text_emb_size), dtype="float16", chunks=True,
-            )
-        else:
-            text_ds = text_file["text_encodings"]
-
         for img, (label, url) in dataloader:
             text_encoding = encode_text(list(label), model).astype(np.float16)
             img_encoding = encode_image(img, vae).astype(np.float16)
 
+            img_ds = _get_ds(img_file, "image_latents", img_encoding.shape[1:])
+            text_ds = _get_ds(text_file, "text_encodings", text_encoding.shape[1:])
             append_to_dataset(img_ds, img_encoding)
             append_to_dataset(text_ds, text_encoding)
 
