@@ -1,0 +1,61 @@
+"""Text-to-image generation example (mirrors the reference README's
+inference flow with the same public API).
+
+With pretrained weights (converted from the reference's published torch
+checkpoint on the fly):
+
+    python examples/generate.py --weights state_dict_378000.pth \
+        --prompt "a cute puppy wearing a cape" --num-imgs 9
+
+Without weights it runs the untrained flagship model end-to-end (useful
+as a smoke test)."""
+
+import argparse
+import os
+import sys
+
+# allow running from a source checkout without pip install
+sys.path.insert(0, os.path.abspath(os.path.join(os.path.dirname(__file__), "..")))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--prompt", default="a cute cat")
+    ap.add_argument("--weights", default=None, help=".pth or .npz denoiser weights")
+    ap.add_argument("--class-guidance", type=float, default=6)
+    ap.add_argument("--seed", type=int, default=11)
+    ap.add_argument("--num-imgs", type=int, default=1)
+    ap.add_argument("--n-iter", type=int, default=15)
+    ap.add_argument("--out", default="out.png")
+    ap.add_argument("--tiny", action="store_true",
+                    help="tiny towers (CPU-friendly smoke test)")
+    args = ap.parse_args()
+
+    from transformer_latent_diffusion_tpu.configs import (
+        ClipConfig, DenoiserConfig, DenoiserLoad, LTDConfig, VaeConfig)
+    from transformer_latent_diffusion_tpu.sampling import DiffusionTransformer
+
+    if args.tiny:
+        cfg = LTDConfig(
+            denoiser_cfg=DenoiserConfig(),
+            vae_cfg=VaeConfig(block_out_channels=(8, 16), layers_per_block=1),
+            clip_cfg=ClipConfig(width=64, heads=2, layers=2),
+            use_pallas=False,
+        )
+    else:
+        cfg = LTDConfig(
+            denoiser_cfg=DenoiserConfig(
+                image_size=32, embed_dim=768, n_layers=12, noise_embed_dims=256),
+            denoiser_load=DenoiserLoad(local_filename=args.weights),
+        )
+
+    dt = DiffusionTransformer(cfg)
+    img = dt.generate_image_from_text(
+        prompt=args.prompt, class_guidance=args.class_guidance,
+        seed=args.seed, num_imgs=args.num_imgs, n_iter=args.n_iter)
+    img.save(args.out)
+    print(f"saved {args.out}")
+
+
+if __name__ == "__main__":
+    main()
