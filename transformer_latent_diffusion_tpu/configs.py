@@ -147,6 +147,8 @@ class TrainConfig:
     grad_accum_steps: int = 1
     checkpoint_dir: str = "checkpoints"
     seed: int = 0
+    # fused differentiable Pallas MLP (ops/fused_mlp_vjp) in the train step
+    fused_mlp_vjp: bool = False
 
 
 @dataclass

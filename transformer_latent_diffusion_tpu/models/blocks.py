@@ -142,12 +142,43 @@ class MLPSepConv(nn.Module):
     mlp_multiplier: int
     dropout_level: float
     dtype: jnp.dtype = jnp.float32
+    # route through the fused differentiable Pallas op (ops/fused_mlp_vjp):
+    # same math, hidden state stays in VMEM in both passes. Training-perf
+    # feature; requires dropout_level == 0 (the reference's default).
+    fused_vjp: bool = False
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
         b, n, d = x.shape
         hw = int(math.isqrt(n))
         hidden = self.mlp_multiplier * self.embed_dim
+
+        if self.fused_vjp and self.dropout_level == 0:
+            from transformer_latent_diffusion_tpu.ops.fused_mlp_vjp import (
+                fused_mlp_sepconv_vjp,
+            )
+
+            # materialize the SAME param tree as the unfused path (dummy
+            # one-token calls create the Dense params; the dummy outputs
+            # are unused and DCE'd by XLA)
+            expand = nn.Dense(hidden, dtype=self.dtype, name="expand")
+            contract = nn.Dense(self.embed_dim, dtype=self.dtype, name="contract")
+            _ = expand(x[:, :1, :])
+            _ = contract(jnp.zeros((1, 1, hidden), self.dtype))
+            dw = self.param("depthwise_kernel", nn.initializers.lecun_normal(),
+                            (3, 3, 1, hidden))
+            dw_b = self.param("depthwise_bias", nn.initializers.zeros, (hidden,))
+            ev = expand.variables["params"]
+            cv = contract.variables["params"]
+            dt = self.dtype
+            out = fused_mlp_sepconv_vjp(
+                x.astype(dt),
+                ev["kernel"].astype(dt), ev["bias"].astype(jnp.float32),
+                dw[:, :, 0, :].astype(dt), dw_b.astype(jnp.float32),
+                cv["kernel"].astype(dt), cv["bias"].astype(jnp.float32),
+                hw, jax.default_backend() == "cpu",
+            )
+            return out.astype(self.dtype)
 
         x = x.reshape(b, hw, hw, d)
         # 1x1 conv == Dense over the channel dim (maps onto the MXU directly)
@@ -180,6 +211,7 @@ class DecoderBlock(nn.Module):
     dropout_level: float
     mlp_class: MLPClass = MLPSepConv
     use_pallas: bool = False
+    fused_mlp_vjp: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -193,9 +225,12 @@ class DecoderBlock(nn.Module):
         x = x + CrossAttention(
             self.embed_dim, n_heads, dtype=self.dtype, name="cross_attention",
         )(nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name="norm2")(x), y)
+        mlp_kwargs = {}
+        if self.mlp_class is MLPSepConv:
+            mlp_kwargs["fused_vjp"] = self.fused_mlp_vjp
         x = x + self.mlp_class(
             self.embed_dim, self.mlp_multiplier, self.dropout_level,
-            dtype=self.dtype, name="mlp",
+            dtype=self.dtype, name="mlp", **mlp_kwargs,
         )(nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name="norm3")(x),
           deterministic=deterministic)
         return x

@@ -68,6 +68,7 @@ class DenoiserTransBlock(nn.Module):
     mlp_multiplier: int = 4
     n_channels: int = 4
     use_pallas: bool = False
+    fused_mlp_vjp: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -110,6 +111,7 @@ class DenoiserTransBlock(nn.Module):
                 dropout_level=self.dropout,
                 mlp_class=MLPSepConv,
                 use_pallas=self.use_pallas,
+                fused_mlp_vjp=self.fused_mlp_vjp,
                 dtype=self.dtype,
                 name=f"decoder_block_{i}",
             )(tokens, cond, deterministic=deterministic)
@@ -138,6 +140,7 @@ class Denoiser(nn.Module):
     mlp_multiplier: int = 4
     n_channels: int = 4
     use_pallas: bool = False
+    fused_mlp_vjp: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -166,6 +169,7 @@ class Denoiser(nn.Module):
             mlp_multiplier=self.mlp_multiplier,
             n_channels=self.n_channels,
             use_pallas=self.use_pallas,
+            fused_mlp_vjp=self.fused_mlp_vjp,
             dtype=self.dtype,
             name="denoiser_trans_block",
         )(x, cond, deterministic=deterministic,

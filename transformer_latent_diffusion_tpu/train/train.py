@@ -188,8 +188,9 @@ def main(config: ModelConfig, init_params: Optional[Any] = None) -> Dict[str, An
         return _vae_cache[0]
 
     compute_dtype = resolve_dtype(train_config.compute_dtype)
-    model = Denoiser(**asdict(denoiser_config), dtype=compute_dtype)
-    eval_model = model
+    model = Denoiser(**asdict(denoiser_config), dtype=compute_dtype,
+                     fused_mlp_vjp=train_config.fused_mlp_vjp)
+    eval_model = Denoiser(**asdict(denoiser_config), dtype=compute_dtype)
 
     if init_params is not None:
         params = jax.tree.map(jnp.asarray, init_params)
