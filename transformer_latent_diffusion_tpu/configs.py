@@ -147,8 +147,9 @@ class TrainConfig:
     grad_accum_steps: int = 1
     checkpoint_dir: str = "checkpoints"
     seed: int = 0
-    # fused differentiable Pallas MLP (ops/fused_mlp_vjp) in the train step
+    # fused differentiable Pallas kernels (ops/fused_*_vjp) in the train step
     fused_mlp_vjp: bool = False
+    fused_attn_vjp: bool = False
 
 
 @dataclass

@@ -212,19 +212,50 @@ class DecoderBlock(nn.Module):
     mlp_class: MLPClass = MLPSepConv
     use_pallas: bool = False
     fused_mlp_vjp: bool = False
+    fused_attn_vjp: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, y, deterministic: bool = True):
         n_heads = self.embed_dim // 64
-        x = x + SelfAttention(
-            self.embed_dim, n_heads, self.dropout_level,
-            use_pallas=self.use_pallas, dtype=self.dtype, name="self_attention",
-        )(nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name="norm1")(x),
-          deterministic=deterministic)
-        x = x + CrossAttention(
-            self.embed_dim, n_heads, dtype=self.dtype, name="cross_attention",
-        )(nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name="norm2")(x), y)
+        if self.fused_attn_vjp and self.dropout_level == 0:
+            from transformer_latent_diffusion_tpu.ops.fused_attn_vjp import (
+                fused_attention_pair_vjp,
+            )
+
+            # materialize the SAME param tree as the unfused path via
+            # one-token dummy calls (outputs unused -> DCE'd)
+            norm1 = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name="norm1")
+            sa = SelfAttention(self.embed_dim, n_heads, 0.0, dtype=self.dtype,
+                               name="self_attention")
+            norm2 = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name="norm2")
+            ca = CrossAttention(self.embed_dim, n_heads, dtype=self.dtype,
+                                name="cross_attention")
+            _ = sa(norm1(x[:, :1]))
+            _ = ca(norm2(x[:, :1]), y)
+            n1 = norm1.variables["params"]
+            n2 = norm2.variables["params"]
+            wqkv = sa.variables["params"]["qkv_linear"]["kernel"]
+            wq = ca.variables["params"]["q_linear"]["kernel"]
+            wkv = ca.variables["params"]["kv_linear"]["kernel"]
+            dt = self.dtype
+            x = fused_attention_pair_vjp(
+                x.astype(dt), y.astype(dt),
+                n1["scale"].astype(jnp.float32), n1["bias"].astype(jnp.float32),
+                wqkv.astype(dt),
+                n2["scale"].astype(jnp.float32), n2["bias"].astype(jnp.float32),
+                wq.astype(dt), wkv.astype(dt),
+                n_heads, jax.default_backend() == "cpu",
+            ).astype(self.dtype)
+        else:
+            x = x + SelfAttention(
+                self.embed_dim, n_heads, self.dropout_level,
+                use_pallas=self.use_pallas, dtype=self.dtype, name="self_attention",
+            )(nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name="norm1")(x),
+              deterministic=deterministic)
+            x = x + CrossAttention(
+                self.embed_dim, n_heads, dtype=self.dtype, name="cross_attention",
+            )(nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name="norm2")(x), y)
         mlp_kwargs = {}
         if self.mlp_class is MLPSepConv:
             mlp_kwargs["fused_vjp"] = self.fused_mlp_vjp

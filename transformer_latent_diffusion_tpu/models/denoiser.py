@@ -69,6 +69,7 @@ class DenoiserTransBlock(nn.Module):
     n_channels: int = 4
     use_pallas: bool = False
     fused_mlp_vjp: bool = False
+    fused_attn_vjp: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -112,6 +113,7 @@ class DenoiserTransBlock(nn.Module):
                 mlp_class=MLPSepConv,
                 use_pallas=self.use_pallas,
                 fused_mlp_vjp=self.fused_mlp_vjp,
+                fused_attn_vjp=self.fused_attn_vjp,
                 dtype=self.dtype,
                 name=f"decoder_block_{i}",
             )(tokens, cond, deterministic=deterministic)
@@ -141,6 +143,7 @@ class Denoiser(nn.Module):
     n_channels: int = 4
     use_pallas: bool = False
     fused_mlp_vjp: bool = False
+    fused_attn_vjp: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -170,6 +173,7 @@ class Denoiser(nn.Module):
             n_channels=self.n_channels,
             use_pallas=self.use_pallas,
             fused_mlp_vjp=self.fused_mlp_vjp,
+            fused_attn_vjp=self.fused_attn_vjp,
             dtype=self.dtype,
             name="denoiser_trans_block",
         )(x, cond, deterministic=deterministic,

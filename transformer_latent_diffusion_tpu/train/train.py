@@ -189,7 +189,8 @@ def main(config: ModelConfig, init_params: Optional[Any] = None) -> Dict[str, An
 
     compute_dtype = resolve_dtype(train_config.compute_dtype)
     model = Denoiser(**asdict(denoiser_config), dtype=compute_dtype,
-                     fused_mlp_vjp=train_config.fused_mlp_vjp)
+                     fused_mlp_vjp=train_config.fused_mlp_vjp,
+                     fused_attn_vjp=train_config.fused_attn_vjp)
     eval_model = Denoiser(**asdict(denoiser_config), dtype=compute_dtype)
 
     if init_params is not None:
