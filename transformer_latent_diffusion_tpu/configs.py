@@ -147,9 +147,10 @@ class TrainConfig:
     grad_accum_steps: int = 1
     checkpoint_dir: str = "checkpoints"
     seed: int = 0
-    # fused differentiable Pallas kernels (ops/fused_*_vjp) in the train step
-    fused_mlp_vjp: bool = False
-    fused_attn_vjp: bool = False
+    # fused differentiable Pallas kernels (ops/fused_*_vjp) in the train
+    # step; None = auto (on for TPU, off for CPU)
+    fused_mlp_vjp: Optional[bool] = None
+    fused_attn_vjp: Optional[bool] = None
 
 
 @dataclass

@@ -188,9 +188,13 @@ def main(config: ModelConfig, init_params: Optional[Any] = None) -> Dict[str, An
         return _vae_cache[0]
 
     compute_dtype = resolve_dtype(train_config.compute_dtype)
+    on_tpu = jax.default_backend() not in ("cpu",)
+    fused_mlp = (train_config.fused_mlp_vjp
+                 if train_config.fused_mlp_vjp is not None else on_tpu)
+    fused_attn = (train_config.fused_attn_vjp
+                  if train_config.fused_attn_vjp is not None else on_tpu)
     model = Denoiser(**asdict(denoiser_config), dtype=compute_dtype,
-                     fused_mlp_vjp=train_config.fused_mlp_vjp,
-                     fused_attn_vjp=train_config.fused_attn_vjp)
+                     fused_mlp_vjp=fused_mlp, fused_attn_vjp=fused_attn)
     eval_model = Denoiser(**asdict(denoiser_config), dtype=compute_dtype)
 
     if init_params is not None:
