@@ -151,6 +151,7 @@ class TrainConfig:
     # step; None = auto (on for TPU, off for CPU)
     fused_mlp_vjp: Optional[bool] = None
     fused_attn_vjp: Optional[bool] = None
+    fused_layer_vjp: Optional[bool] = None  # supersedes the two above when on
 
 
 @dataclass

@@ -213,11 +213,55 @@ class DecoderBlock(nn.Module):
     use_pallas: bool = False
     fused_mlp_vjp: bool = False
     fused_attn_vjp: bool = False
+    fused_layer_vjp: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, y, deterministic: bool = True):
         n_heads = self.embed_dim // 64
+        if (self.fused_layer_vjp and self.dropout_level == 0
+                and self.mlp_class is MLPSepConv):
+            from transformer_latent_diffusion_tpu.ops.fused_layer_vjp import (
+                fused_layer_vjp,
+            )
+
+            hidden = self.mlp_multiplier * self.embed_dim
+            hw = int(math.isqrt(x.shape[1]))
+            norm1 = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name="norm1")
+            sa = SelfAttention(self.embed_dim, n_heads, 0.0, dtype=self.dtype,
+                               name="self_attention")
+            norm2 = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name="norm2")
+            ca = CrossAttention(self.embed_dim, n_heads, dtype=self.dtype,
+                                name="cross_attention")
+            norm3 = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name="norm3")
+            mlp = MLPSepConv(self.embed_dim, self.mlp_multiplier, 0.0,
+                             dtype=self.dtype, name="mlp")
+            # one-token dummy calls materialize the standard param tree
+            _ = sa(norm1(x[:, :1]))
+            _ = ca(norm2(x[:, :1]), y)
+            _ = mlp(norm3(x[:, :4]))  # 2x2 grid dummy for the conv path
+            n1 = norm1.variables["params"]
+            n2 = norm2.variables["params"]
+            n3 = norm3.variables["params"]
+            mv = mlp.variables["params"]
+            dt = self.dtype
+            f32 = jnp.float32
+            return fused_layer_vjp(
+                x.astype(dt), y.astype(dt),
+                n1["scale"].astype(f32), n1["bias"].astype(f32),
+                sa.variables["params"]["qkv_linear"]["kernel"].astype(dt),
+                n2["scale"].astype(f32), n2["bias"].astype(f32),
+                ca.variables["params"]["q_linear"]["kernel"].astype(dt),
+                ca.variables["params"]["kv_linear"]["kernel"].astype(dt),
+                n3["scale"].astype(f32), n3["bias"].astype(f32),
+                mv["expand"]["kernel"].astype(dt),
+                mv["expand"]["bias"].astype(f32),
+                mv["depthwise_kernel"][:, :, 0, :].astype(dt),
+                mv["depthwise_bias"].astype(f32),
+                mv["contract"]["kernel"].astype(dt),
+                mv["contract"]["bias"].astype(f32),
+                n_heads, hw, jax.default_backend() == "cpu",
+            ).astype(self.dtype)
         if self.fused_attn_vjp and self.dropout_level == 0:
             from transformer_latent_diffusion_tpu.ops.fused_attn_vjp import (
                 fused_attention_pair_vjp,

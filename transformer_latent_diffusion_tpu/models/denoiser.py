@@ -70,6 +70,7 @@ class DenoiserTransBlock(nn.Module):
     use_pallas: bool = False
     fused_mlp_vjp: bool = False
     fused_attn_vjp: bool = False
+    fused_layer_vjp: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -114,6 +115,7 @@ class DenoiserTransBlock(nn.Module):
                 use_pallas=self.use_pallas,
                 fused_mlp_vjp=self.fused_mlp_vjp,
                 fused_attn_vjp=self.fused_attn_vjp,
+                fused_layer_vjp=self.fused_layer_vjp,
                 dtype=self.dtype,
                 name=f"decoder_block_{i}",
             )(tokens, cond, deterministic=deterministic)
@@ -144,6 +146,7 @@ class Denoiser(nn.Module):
     use_pallas: bool = False
     fused_mlp_vjp: bool = False
     fused_attn_vjp: bool = False
+    fused_layer_vjp: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -174,6 +177,7 @@ class Denoiser(nn.Module):
             use_pallas=self.use_pallas,
             fused_mlp_vjp=self.fused_mlp_vjp,
             fused_attn_vjp=self.fused_attn_vjp,
+            fused_layer_vjp=self.fused_layer_vjp,
             dtype=self.dtype,
             name="denoiser_trans_block",
         )(x, cond, deterministic=deterministic,

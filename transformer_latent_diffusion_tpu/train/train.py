@@ -189,12 +189,17 @@ def main(config: ModelConfig, init_params: Optional[Any] = None) -> Dict[str, An
 
     compute_dtype = resolve_dtype(train_config.compute_dtype)
     on_tpu = jax.default_backend() not in ("cpu",)
+    fused_layer = (train_config.fused_layer_vjp
+                   if train_config.fused_layer_vjp is not None else on_tpu)
     fused_mlp = (train_config.fused_mlp_vjp
-                 if train_config.fused_mlp_vjp is not None else on_tpu)
+                 if train_config.fused_mlp_vjp is not None
+                 else (on_tpu and not fused_layer))
     fused_attn = (train_config.fused_attn_vjp
-                  if train_config.fused_attn_vjp is not None else on_tpu)
+                  if train_config.fused_attn_vjp is not None
+                  else (on_tpu and not fused_layer))
     model = Denoiser(**asdict(denoiser_config), dtype=compute_dtype,
-                     fused_mlp_vjp=fused_mlp, fused_attn_vjp=fused_attn)
+                     fused_mlp_vjp=fused_mlp, fused_attn_vjp=fused_attn,
+                     fused_layer_vjp=fused_layer)
     eval_model = Denoiser(**asdict(denoiser_config), dtype=compute_dtype)
 
     if init_params is not None:
