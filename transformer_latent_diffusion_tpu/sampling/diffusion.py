@@ -90,18 +90,23 @@ class DiffusionGenerator:
         def prepare(params):
             # weight packing for the fused engine runs once per generate,
             # hoisted out of the 50-step scan
-            if fast_apply is not None and hasattr(fast_apply, "prepare"):
+            if use_fast and hasattr(fast_apply, "prepare"):
                 return fast_apply.prepare(params)
             return params
+
+        # the fused engine holds per-head (N, N) attention scores in VMEM;
+        # beyond 1024 tokens (hw > 32) that no longer fits -> XLA path
+        hw = shape[-1] // getattr(model, "patch_size", 1)
+        use_fast = fast_apply is not None and hw <= 32
 
         def pred_x0(prepared, x_t, labels_cat, noise_level, class_guidance):
             """Double-batch CFG denoiser call (reference diffusion.py:94-103)."""
             num = x_t.shape[0]
             x2 = jnp.concatenate([x_t, x_t], axis=0)
             noises = jnp.full((2 * num, 1), noise_level, dtype=x_t.dtype)
-            if fast_apply is not None and hasattr(fast_apply, "prepare"):
+            if use_fast and hasattr(fast_apply, "prepare"):
                 x0 = fast_apply.apply_prepared(prepared, x2, noises, labels_cat)
-            elif fast_apply is not None:
+            elif use_fast:
                 x0 = fast_apply(prepared, x2, noises, labels_cat)
             else:
                 x0 = model.apply({"params": prepared}, x2, noises, labels_cat)
