@@ -25,6 +25,13 @@ def log(*a):
 
 
 def main():
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quantize", choices=["int8"], default=None,
+                    help="opt-in W8A8 engine (not the headline parity path)")
+    cli = ap.parse_args()
+
     from transformer_latent_diffusion_tpu.configs import DenoiserConfig
     from transformer_latent_diffusion_tpu.models import Denoiser
     from transformer_latent_diffusion_tpu.models.vae import FlaxVae
@@ -54,7 +61,8 @@ def main():
                 make_fused_apply,
             )
 
-            fast_apply = make_fused_apply(cfg, compute_dtype=dtype)
+            fast_apply = make_fused_apply(cfg, compute_dtype=dtype,
+                                          quantize=cli.quantize)
             x = jnp.ones((2, 4, 32, 32))
             v = float(jnp.sum(jax.jit(fast_apply)(
                 params, x, jnp.full((2, 1), 0.5), jnp.ones((2, 768)))))
@@ -96,8 +104,11 @@ def main():
     imgs_per_sec = num_imgs * n_rep / dt
     log(f"{num_imgs * n_rep} imgs in {dt:.2f}s (pallas={use_pallas})")
 
+    metric = "256px_imgs_per_sec_per_chip_50step_ddim_b32_incl_vae"
+    if cli.quantize:
+        metric += f"_{cli.quantize}"
     print(json.dumps({
-        "metric": "256px_imgs_per_sec_per_chip_50step_ddim_b32_incl_vae",
+        "metric": metric,
         "value": round(imgs_per_sec, 3),
         "unit": "imgs/sec",
         "vs_baseline": round(imgs_per_sec / A100_ANCHOR_IMGS_PER_SEC, 3),

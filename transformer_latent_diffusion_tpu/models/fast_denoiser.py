@@ -68,13 +68,22 @@ def _pick_layers_per_call(cfg: DenoiserConfig, itemsize: int) -> int:
 
 
 class FusedEngine:
-    """Callable engine with a hoistable weight-packing stage."""
+    """Callable engine with a hoistable weight-packing stage.
+
+    quantize: None (bf16 W and A, exact-parity path) or "int8" (W8A8 on
+    the four large projections per layer via ops/fused_stack_int8 —
+    ~1.4x faster matmuls on v5e at a small accuracy cost; opt-in).
+    """
 
     def __init__(self, cfg: DenoiserConfig, compute_dtype=jnp.bfloat16,
-                 interpret: bool = False, layers_per_call: int | None = None):
+                 interpret: bool = False, layers_per_call: int | None = None,
+                 quantize: str | None = None):
+        if quantize not in (None, "int8"):
+            raise ValueError(f"unknown quantize mode: {quantize!r}")
         self.cfg = cfg
         self.dtype = compute_dtype
         self.interpret = interpret
+        self.quantize = quantize
         self.n_heads = cfg.embed_dim // 64
         self.layers_per_call = layers_per_call or _pick_layers_per_call(
             cfg, jnp.dtype(compute_dtype).itemsize)
@@ -82,10 +91,18 @@ class FusedEngine:
     def prepare(self, params: Dict[str, Any]):
         """Stack per-layer weights into K-layer groups (run once, outside
         the sampling scan)."""
+        if self.quantize == "int8":
+            from transformer_latent_diffusion_tpu.ops.fused_stack_int8 import (
+                pack_layer_stack_int8,
+            )
+
+            pack = pack_layer_stack_int8
+        else:
+            pack = pack_layer_stack
         groups: List[Dict[str, Any]] = []
         k = self.layers_per_call
         for start in range(0, self.cfg.n_layers, k):
-            groups.append(pack_layer_stack(
+            groups.append(pack(
                 params, list(range(start, start + k)), self.dtype))
         return {"params": params, "groups": groups}
 
@@ -114,8 +131,16 @@ class FusedEngine:
         pos = jax.lax.slice_in_dim(tb["pos_embed"], 0, h * w, axis=0)
         tokens = tokens + pos.astype(dt)[None]
 
+        if self.quantize == "int8":
+            from transformer_latent_diffusion_tpu.ops.fused_stack_int8 import (
+                fused_layer_stack_int8,
+            )
+
+            stack_fn = fused_layer_stack_int8
+        else:
+            stack_fn = fused_layer_stack
         for group in prepared["groups"]:
-            tokens = fused_layer_stack(
+            tokens = stack_fn(
                 tokens, cond, group, hw=h, n_heads=self.n_heads,
                 interpret=self.interpret,
             )
@@ -129,8 +154,11 @@ class FusedEngine:
 
 def make_fused_apply(cfg: DenoiserConfig, compute_dtype=jnp.bfloat16,
                      interpret: bool = False,
-                     layers_per_call: int | None = None) -> FusedEngine:
+                     layers_per_call: int | None = None,
+                     quantize: str | None = None) -> FusedEngine:
     """Build the fused engine. Mirrors Denoiser.__call__
-    (models/denoiser.py; reference semantics /root/reference/tld/denoiser.py:116-126)."""
+    (models/denoiser.py; reference semantics /root/reference/tld/denoiser.py:116-126).
+
+    quantize="int8" selects the opt-in W8A8 engine (fused_stack_int8)."""
     return FusedEngine(cfg, compute_dtype=compute_dtype, interpret=interpret,
-                       layers_per_call=layers_per_call)
+                       layers_per_call=layers_per_call, quantize=quantize)

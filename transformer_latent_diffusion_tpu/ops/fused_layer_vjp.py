@@ -40,6 +40,7 @@ from transformer_latent_diffusion_tpu.ops.fused_attn_vjp import (
 from transformer_latent_diffusion_tpu.ops.fused_mlp_vjp import (
     _dw_fwd,
     _dw_input_grad,
+    _dw_tap_grads,
     _gelu_f32,
     _gelu_grad_f32,
 )
@@ -163,11 +164,9 @@ def _bwd_kernel(x_ref, cond_ref, g_ref,
     da = _mm_nt(g_lp, w2[...])                                # (N, K)
     dc = da.reshape(hw, hw, kk) * _gelu_grad_f32(c)
     ddwb_ref[...] += jnp.sum(dc, axis=(0, 1)).reshape(1, kk)
-    h_padded = jnp.pad(h.reshape(hw, hw, kk), ((1, 1), (1, 1), (0, 0)))
-    for di in range(3):
-        for dj in range(3):
-            ddw_ref[di * 3 + dj, :] += jnp.sum(
-                h_padded[di:di + hw, dj:dj + hw, :] * dc, axis=(0, 1))
+    tap_grads = _dw_tap_grads(h.reshape(hw, hw, kk), dc, hw)
+    for t in range(9):
+        ddw_ref[t, :] += tap_grads[t]
     dhid = _dw_input_grad(dc, dw9, hw).reshape(hw * hw, kk)
     dhid_lp = dhid.astype(mxu)
     dw1_ref[...] += _mm_tn(xn3.astype(mxu), dhid_lp)

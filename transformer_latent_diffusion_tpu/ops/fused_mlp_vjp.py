@@ -61,24 +61,52 @@ def _mm_nt(a, b):
                                preferred_element_type=jnp.float32)
 
 
-def _dw_fwd(h_f32_grid, dw_f32, hw):
-    padded = jnp.pad(h_f32_grid, ((1, 1), (1, 1), (0, 0)))
-    acc = jnp.zeros_like(h_f32_grid)
-    for di in range(3):
-        for dj in range(3):
-            acc = acc + padded[di:di + hw, dj:dj + hw, :] * dw_f32[di * 3 + dj]
-    return acc
+def _dw_fwd(h_f32_grid, dw_f32, hw, flip: bool = False):
+    """3x3 depthwise conv on a (hw, hw, K) grid, Mosaic-friendly.
+
+    acc[i,j,c] = sum_{di,dj} h[i+di-1, j+dj-1, c] * w[di*3+dj, c] (zero pad).
+    The row (i) shifts ride the free outer axis; the column (j) shifts are
+    commuted to the END so only 2 sublane-offset slices are needed instead
+    of 6 (measured ~40% faster than the naive 9-slice form on v5e — see
+    scripts/microbench_layer.py). flip=True uses reversed taps, which turns
+    this into the transposed correlation used by the input gradient.
+    """
+    pr = jnp.pad(h_f32_grid, ((1, 1), (0, 0), (0, 0)))
+
+    def tap(di, dj):
+        idx = di * 3 + dj
+        return dw_f32[8 - idx] if flip else dw_f32[idx]
+
+    zs = []
+    for dj in range(3):
+        zs.append(pr[0:hw] * tap(0, dj)
+                  + pr[1:hw + 1] * tap(1, dj)
+                  + pr[2:hw + 2] * tap(2, dj))
+    # acc[:, j] = z0[:, j-1] + z1[:, j] + z2[:, j+1]  (zero boundary)
+    pc0 = jnp.pad(zs[0], ((0, 0), (1, 1), (0, 0)))
+    pc2 = jnp.pad(zs[2], ((0, 0), (1, 1), (0, 0)))
+    return pc0[:, 0:hw] + zs[1] + pc2[:, 2:hw + 2]
 
 
 def _dw_input_grad(dc_grid, dw_f32, hw):
-    # transposed 3x3 correlation: flip taps
-    padded = jnp.pad(dc_grid, ((1, 1), (1, 1), (0, 0)))
-    acc = jnp.zeros_like(dc_grid)
+    # transposed 3x3 correlation == forward conv with flipped taps
+    return _dw_fwd(dc_grid, dw_f32, hw, flip=True)
+
+
+def _dw_tap_grads(h_grid, dc, hw):
+    """Per-tap depthwise weight grads: list of 9 (K,) rows, ddw[di*3+dj].
+
+    Commuted like _dw_fwd: dc is column-shifted twice (2 sublane slices),
+    h rides the free outer axis.
+    """
+    pr = jnp.pad(h_grid, ((1, 1), (0, 0), (0, 0)))
+    pd = jnp.pad(dc, ((0, 0), (1, 1), (0, 0)))
+    dcs = [pd[:, 2:hw + 2], dc, pd[:, 0:hw]]  # dj = 0, 1, 2
+    out = []
     for di in range(3):
         for dj in range(3):
-            acc = acc + padded[2 - di:2 - di + hw, 2 - dj:2 - dj + hw, :] \
-                * dw_f32[di * 3 + dj]
-    return acc
+            out.append(jnp.sum(pr[di:di + hw] * dcs[dj], axis=(0, 1)))
+    return out
 
 
 # ------------------------------ forward kernel ------------------------------
@@ -135,13 +163,9 @@ def _bwd_kernel(x_ref, g_ref, w1_ref, b1_ref, dw_ref, dwb_ref, w2_ref,
     # --- gelu + depthwise grads ---
     dc = (da.reshape(hw, hw, k) * _gelu_grad_f32(c))         # (hw,hw,K)
     ddwb_ref[...] += jnp.sum(dc, axis=(0, 1)).reshape(1, k)
-    h_grid = h.reshape(hw, hw, k)
-    h_padded = jnp.pad(h_grid, ((1, 1), (1, 1), (0, 0)))
-    for di in range(3):
-        for dj in range(3):
-            contrib = jnp.sum(
-                h_padded[di:di + hw, dj:dj + hw, :] * dc, axis=(0, 1))
-            ddw_ref[di * 3 + dj, :] += contrib
+    tap_grads = _dw_tap_grads(h.reshape(hw, hw, k), dc, hw)
+    for t in range(9):
+        ddw_ref[t, :] += tap_grads[t]
     dh = _dw_input_grad(dc, dw_f32, hw).reshape(hw * hw, k)  # (N, K) f32
 
     # --- expand matmul grads ---

@@ -34,6 +34,26 @@ from transformer_latent_diffusion_tpu.ops.fused_block import (
     _mm,
     _mm_t,
 )
+from transformer_latent_diffusion_tpu.ops.fused_mlp_vjp import _dw_fwd
+
+
+def _mha(q, k, v, n_heads: int, mxu):
+    """Per-head softmax(q k^T / sqrt(dh)) v with f32 softmax.
+
+    q: (Nq, D); k, v: (Nk, D) in mxu dtype -> f32 (Nq, D).
+    """
+    d = q.shape[-1]
+    dh = d // n_heads
+    scale = 1.0 / math.sqrt(dh)
+    cols = []
+    for h in range(n_heads):
+        sl = slice(h * dh, (h + 1) * dh)
+        s = _mm_t(q[:, sl], k[:, sl]) * scale
+        m = jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s - m)
+        p = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(mxu)
+        cols.append(_mm(p, v[:, sl]))
+    return jnp.concatenate(cols, axis=-1)
 
 
 def _layer_stack_kernel(x_ref, cond_ref,
@@ -44,52 +64,26 @@ def _layer_stack_kernel(x_ref, cond_ref,
     x = x_ref[0].astype(jnp.float32)                      # (N, D)
     cond = cond_ref[0]                                    # (2, D)
     n, d = x.shape
-    dh = d // n_heads
-    scale = 1.0 / math.sqrt(dh)
 
     for l in range(n_layers):
         # ---- self attention ----
         xn = _ln_f32(x, ln1s[l].astype(jnp.float32), ln1b[l].astype(jnp.float32))
         qkv = _mm(xn.astype(mxu), wqkv[l]).astype(mxu)    # (N, 3D)
-        q, k, v = qkv[:, :d], qkv[:, d:2 * d], qkv[:, 2 * d:]
-        cols = []
-        for h in range(n_heads):
-            sl = slice(h * dh, (h + 1) * dh)
-            s = _mm_t(q[:, sl], k[:, sl]) * scale         # (N, N) f32
-            m = jnp.max(s, axis=-1, keepdims=True)
-            e = jnp.exp(s - m)
-            p = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(mxu)
-            cols.append(_mm(p, v[:, sl]))
-        x = x + jnp.concatenate(cols, axis=-1)
+        x = x + _mha(qkv[:, :d], qkv[:, d:2 * d], qkv[:, 2 * d:], n_heads, mxu)
 
         # ---- cross attention (cond KV projected in-kernel) ----
         xn2 = _ln_f32(x, ln2s[l].astype(jnp.float32), ln2b[l].astype(jnp.float32))
         qc = _mm(xn2.astype(mxu), wq[l]).astype(mxu)      # (N, D)
         kv = _mm(cond.astype(mxu), wkv[l]).astype(mxu)    # (2, 2D)
-        kc, vc = kv[:, :d], kv[:, d:]
-        cols = []
-        for h in range(n_heads):
-            sl = slice(h * dh, (h + 1) * dh)
-            s = _mm_t(qc[:, sl], kc[:, sl]) * scale       # (N, 2) f32
-            m = jnp.max(s, axis=-1, keepdims=True)
-            e = jnp.exp(s - m)
-            p = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(mxu)
-            cols.append(_mm(p, vc[:, sl]))
-        x = x + jnp.concatenate(cols, axis=-1)
+        x = x + _mha(qc, kv[:, :d], kv[:, d:], n_heads, mxu)
 
         # ---- sep-conv MLP ----
         xn3 = _ln_f32(x, ln3s[l].astype(jnp.float32), ln3b[l].astype(jnp.float32))
         hmat = _mm(xn3.astype(mxu), w1[l]) + b1[l].astype(jnp.float32)
         hmat = hmat.astype(mxu)
         hid = hmat.shape[-1]
-        grid_h = hmat.reshape(hw, hw, hid)
-        padded = jnp.pad(grid_h, ((1, 1), (1, 1), (0, 0)))
         dwl = dw[l].astype(jnp.float32)                   # (9, hid)
-        acc = jnp.zeros((hw, hw, hid), jnp.float32)
-        for di in range(3):
-            for dj in range(3):
-                acc = acc + padded[di:di + hw, dj:dj + hw, :].astype(jnp.float32) \
-                    * dwl[di * 3 + dj]
+        acc = _dw_fwd(hmat.astype(jnp.float32).reshape(hw, hw, hid), dwl, hw)
         acc = acc + dwb[l].astype(jnp.float32)
         act = _gelu_exact(acc).reshape(hw * hw, hid).astype(mxu)
         x = x + _mm(act, w2[l]) + b2[l].astype(jnp.float32)
