@@ -296,7 +296,13 @@ def main(config: ModelConfig, init_params: Optional[Any] = None) -> Dict[str, An
             step_rng = jax.random.fold_in(rng, global_step)
             state, loss = train_step(state, x, y, step_rng)
             global_step += 1
-            losses.append(float(loss))
+            # keep the loss on device; a float() here would force a
+            # device->host sync EVERY step (device->host crawls on the
+            # axon runtime) and serialize compute against batch upload.
+            # Sync every 16 steps to bound the dispatch queue instead.
+            losses.append(loss)
+            if global_step % 16 == 0 and wandb_run is None:
+                losses[-1] = float(losses[-1])
             if wandb_run is not None:
                 wandb_run.log({"train_loss": float(loss)}, step=global_step)
 
@@ -306,6 +312,7 @@ def main(config: ModelConfig, init_params: Optional[Any] = None) -> Dict[str, An
     if train_config.save_model and ckpt_mgr is not None:
         ckpt_mgr.save(global_step, jax.device_get(state))
 
+    losses = [float(loss) for loss in losses]
     if losses:
         log(f"final loss {np.mean(losses[-10:]):.5f}")
     return {"state": state, "losses": losses, "global_step": global_step}
