@@ -28,6 +28,9 @@ def bench_step(tag, model, params, batch, reps=10):
     from transformer_latent_diffusion_tpu.train.train import _build_train_step
 
     optimizer = optax.adam(3e-4)
+    # copy: the donated step invalidates these buffers, and the caller
+    # reuses `params` across bench_step invocations
+    params = jax.tree.map(jnp.copy, params)
     state = {
         "params": params,
         "ema_params": jax.tree.map(jnp.copy, params),
@@ -75,18 +78,19 @@ def main():
     model = Denoiser(**cfg.__dict__, dtype=jnp.bfloat16, fused_layer_vjp=True)
     params = init_denoiser_params(model, cfg)
 
-    bench_step("lib train_step (real beta)", model, params, args.batch)
+    # the library step now uses the closed-form Beta(1, b) inverse CDF
+    bench_step("lib train_step", model, params, args.batch)
 
-    real_beta = jax.random.beta
+    import transformer_latent_diffusion_tpu.train.train as train_mod
 
-    def fake_beta(key, a, b, shape=(), dtype=jnp.float32):
-        return jax.random.uniform(key, shape, dtype)
-
-    jax.random.beta = fake_beta
+    real_sampler = train_mod.sample_beta
+    train_mod.sample_beta = lambda key, a, b, shape: jax.random.beta(
+        key, a, b, shape)
     try:
-        bench_step("lib train_step (no beta)", model, params, args.batch)
+        bench_step("lib train_step (rejection beta)", model, params,
+                   args.batch)
     finally:
-        jax.random.beta = real_beta
+        train_mod.sample_beta = real_sampler
 
 
 if __name__ == "__main__":

@@ -150,6 +150,61 @@ def _attn_packed_softmax(x, cond, ln1s, ln1b, wqkv, ln2s, ln2b, wq, wkv,
     return x1 + jnp.concatenate(cols, axis=-1)
 
 
+def _paired_mha(q, k, v, n_heads, mxu):
+    """Heads processed two at a time in 128-lane-aligned blocks.
+
+    For the pair (a, b): S = q_pair @ [[k_a|0],[0|k_b]]^T gives the two
+    (N, N) score blocks side by side in one full-K-width MXU op; PV uses
+    the same masked stack. 2x the (tiny) attention FLOPs, but no 64-lane
+    misaligned slices and half the loop iterations.
+    """
+    n, d = q.shape
+    dh = d // n_heads
+    scale = 1.0 / math.sqrt(dh)
+    mask_a = jnp.concatenate(
+        [jnp.ones((1, dh), jnp.float32), jnp.zeros((1, dh), jnp.float32)],
+        axis=-1).astype(mxu)
+    mask_b = jnp.concatenate(
+        [jnp.zeros((1, dh), jnp.float32), jnp.ones((1, dh), jnp.float32)],
+        axis=-1).astype(mxu)
+    cols = []
+    for hp in range(n_heads // 2):
+        sl = slice(hp * 2 * dh, (hp + 1) * 2 * dh)
+        qp, kp, vp = q[:, sl], k[:, sl], v[:, sl]
+        kstack = jnp.concatenate([kp * mask_a, kp * mask_b], axis=0)  # (2N, 2dh)
+        s = _mm_nt(qp, kstack) * scale                                # (N, 2N)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s - m)
+        den_a = jnp.sum(e[:, :n], axis=-1, keepdims=True)
+        den_b = jnp.sum(e[:, n:], axis=-1, keepdims=True)
+        p = jnp.concatenate([e[:, :n] / den_a, e[:, n:] / den_b],
+                            axis=-1).astype(mxu)
+        vstack = jnp.concatenate([vp * mask_a, vp * mask_b], axis=0)  # (2N, 2dh)
+        cols.append(_mm(p, vstack))                                   # (N, 2dh)
+    return jnp.concatenate(cols, axis=-1)
+
+
+def _attn_paired(x, cond, ln1s, ln1b, wqkv, ln2s, ln2b, wq, wkv, mxu):
+    n, d = x.shape
+    xn1, _, _ = _ln_fwd(x, ln1s, ln1b)
+    qkv = _mm(xn1.astype(mxu), wqkv).astype(mxu)
+    x1 = x + _paired_mha(qkv[:, :d], qkv[:, d:2 * d], qkv[:, 2 * d:],
+                         HEADS, mxu)
+    xn2, _, _ = _ln_fwd(x1, ln2s, ln2b)
+    qc = _mm(xn2.astype(mxu), wq).astype(mxu)
+    kv = _mm(cond.astype(mxu), wkv).astype(mxu)
+    # cond KV is length-2: keep the cheap per-head loop
+    dh = d // HEADS
+    scale = 1.0 / math.sqrt(dh)
+    kc, vc = kv[:, :d], kv[:, d:]
+    cols = []
+    for h in range(HEADS):
+        sl = slice(h * dh, (h + 1) * dh)
+        p = _softmax_rows(_mm_nt(qc[:, sl], kc[:, sl]) * scale)
+        cols.append(_mm(p.astype(mxu), vc[:, sl]))
+    return x1 + jnp.concatenate(cols, axis=-1)
+
+
 def _variant_kernel(x_ref, cond_ref, ln1s, ln1b, wqkv, ln2s, ln2b, wq, wkv,
                     ln3s, ln3b, w1, b1, dw, dwb, w2, b2, *rest,
                     attn_mode: str, dw_mode: str, hw: int):
@@ -165,6 +220,8 @@ def _variant_kernel(x_ref, cond_ref, ln1s, ln1b, wqkv, ln2s, ln2b, wq, wkv,
         x2 = _attn_pair_fwd(x, cond, *a, HEADS, mxu)
     elif attn_mode == "onehead":
         x2 = _attn_onehead(x, cond, *a, mxu)
+    elif attn_mode == "paired":
+        x2 = _attn_paired(x, cond, *a, mxu)
     else:  # packed
         x2 = _attn_packed_softmax(x, cond, *a, mxu, seg[0][...].astype(jnp.float32),
                                   seg[1][...].astype(jnp.float32))
@@ -268,13 +325,14 @@ def main():
         ("dw_commuted", "base", "commuted"),
         ("attn_onehead", "onehead", "base"),
         ("attn_packed", "packed", "base"),
+        ("attn_paired", "paired", "base"),
         ("best_combo", "packed", "commuted"),
     ]
     fns = {tag: make_variant(params, am, dm, b) for tag, am, dm in variants}
 
     # correctness cross-check (numerics-preserving variants must match base)
     ya = fns["base"](x, cond).astype(jnp.float32)
-    for tag in ("dw_commuted", "attn_packed", "best_combo"):
+    for tag in ("dw_commuted", "attn_packed", "attn_paired", "best_combo"):
         yb = fns[tag](x, cond).astype(jnp.float32)
         err = float(jnp.max(jnp.abs(ya - yb)))
         print(f"{tag} max|diff| vs base: {err:.3e}", flush=True)

@@ -175,3 +175,26 @@ def test_sampler_knobs():
     _, c = gen.generate(labels=labels, num_imgs=1, img_size=8,
                         noise_levels=custom, sharp_f=0, bright_f=0, seed=3)
     assert np.isfinite(np.asarray(c)).all()
+
+
+def test_sample_beta_distribution():
+    """sample_beta's closed-form Beta(1, b) path (inverse CDF) must match
+    the analytic CDF F(x) = 1 - (1-x)^b; the general path must stay wired
+    to jax.random.beta."""
+    from transformer_latent_diffusion_tpu.train.train import sample_beta
+
+    b = 2.5
+    n = 20000
+    s = np.sort(np.asarray(
+        sample_beta(jax.random.PRNGKey(0), 1.0, b, (n,))).ravel())
+    assert (s >= 0).all() and (s <= 1).all()
+    emp = np.arange(1, n + 1) / n
+    analytic = 1.0 - (1.0 - s) ** b
+    ks = np.abs(emp - analytic).max()
+    assert ks < 0.02, ks  # KS 1% critical value at n=20000 is ~0.0115
+
+    # Beta(1, 2.5) mean = 1/(1+2.5)
+    assert abs(s.mean() - 1.0 / 3.5) < 0.01
+
+    g = np.asarray(sample_beta(jax.random.PRNGKey(1), 2.0, 3.0, (n,)))
+    assert abs(g.mean() - 2.0 / 5.0) < 0.01  # Beta(2,3) mean

@@ -48,6 +48,23 @@ from transformer_latent_diffusion_tpu.utils import (
 )
 
 
+def sample_beta(key, a: float, b: float, shape):
+    """Beta(a, b) sampler, TPU-friendly.
+
+    For a == 1 (the reference's default noise schedule, Beta(1, 2.5),
+    train.py:124-126) uses the exact inverse CDF 1 - U^(1/b) — a single
+    uniform draw and a pow, instead of jax.random.beta's gamma rejection
+    sampler (while_loops that serialize badly on TPU). Same for b == 1.
+    General (a, b) falls back to jax.random.beta.
+    """
+    if a == 1.0:
+        u = jax.random.uniform(key, shape)
+        return 1.0 - jnp.power(u, 1.0 / b)
+    if b == 1.0:
+        return jnp.power(jax.random.uniform(key, shape), 1.0 / a)
+    return jax.random.beta(key, a, b, shape)
+
+
 def update_ema(ema_params, params, alpha: float = 0.999):
     """EMA lerp over the param tree. Parity: reference train.py:55-58."""
     return jax.tree.map(
@@ -86,7 +103,7 @@ def _build_train_step(model: Denoiser, optimizer, train_cfg, vae_scale_factor):
         r_beta, r_noise, r_drop, r_dropout = jax.random.split(rng, 4)
         n = x.shape[0]
         x = x / vae_scale_factor
-        noise_level = jax.random.beta(
+        noise_level = sample_beta(
             r_beta, train_cfg.beta_a, train_cfg.beta_b, (n, 1)
         )
         nl = noise_level[:, :, None, None]
