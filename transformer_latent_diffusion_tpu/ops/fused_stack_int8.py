@@ -124,7 +124,10 @@ def fused_layer_stack_int8(x, cond, stack: Dict[str, Any], hw: int,
                             memory_space=pltpu.VMEM)
 
     weight_bytes = sum(int(np.prod(a.shape)) * a.dtype.itemsize for a in args)
-    vmem_limit = min(120 * 1024 * 1024, weight_bytes + 24 * 1024 * 1024)
+    # int8 weights are half the bytes of bf16, but the int32 accumulators
+    # and f32 dequant intermediates are LARGER than the bf16 kernel's —
+    # give the scratch a much bigger share or the compiler spills.
+    vmem_limit = min(120 * 1024 * 1024, weight_bytes + 72 * 1024 * 1024)
 
     return pl.pallas_call(
         functools.partial(_layer_stack_int8_kernel, n_layers=k_layers,
