@@ -110,3 +110,41 @@ def test_model_with_layer_vjp_matches_standard():
         np.testing.assert_allclose(
             np.asarray(b), np.asarray(a), atol=2e-4, rtol=1e-2,
             err_msg=f"grad mismatch at {name}")
+
+
+def test_layer_vjp_degrades_beyond_token_limit():
+    """fused_layer_vjp=True above FUSED_LAYER_MAX_TOKENS must degrade to
+    fused-MLP + XLA attention (the configuration measured to compile at
+    512px) and still match the standard model's gradients. 40px latents /
+    patch 2 -> 400 tokens > 256."""
+    from dataclasses import asdict
+    from transformer_latent_diffusion_tpu.configs import DenoiserConfig
+    from transformer_latent_diffusion_tpu.models import Denoiser
+    from transformer_latent_diffusion_tpu.utils import init_denoiser_params
+
+    cfg = DenoiserConfig(image_size=40, embed_dim=64, n_layers=1,
+                         noise_embed_dims=64)
+    m_std = Denoiser(**asdict(cfg))
+    m_fus = Denoiser(**asdict(cfg), fused_layer_vjp=True)
+    params = init_denoiser_params(m_std, cfg)
+    assert jax.tree_util.tree_structure(params) == jax.tree_util.tree_structure(
+        init_denoiser_params(m_fus, cfg))
+
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.standard_normal((1, 4, 40, 40)), dtype=jnp.float32)
+    nl = jnp.asarray(rng.uniform(0.1, 0.9, (1, 1)), dtype=jnp.float32)
+    lb = jnp.asarray(rng.standard_normal((1, 768)), dtype=jnp.float32)
+
+    def loss(m):
+        return lambda p: jnp.mean(m.apply({"params": p}, x, nl, lb) ** 2)
+
+    l_std, g_std = jax.value_and_grad(loss(m_std))(params)
+    l_fus, g_fus = jax.value_and_grad(loss(m_fus))(params)
+    np.testing.assert_allclose(float(l_fus), float(l_std), rtol=1e-4)
+    for (kp, a), (_, b) in zip(
+            jax.tree_util.tree_leaves_with_path(g_std),
+            jax.tree_util.tree_leaves_with_path(g_fus)):
+        name = "/".join(str(getattr(k, "key", k)) for k in kp)
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), atol=2e-4, rtol=1e-2,
+            err_msg=f"grad mismatch at {name}")

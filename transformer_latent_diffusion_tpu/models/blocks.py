@@ -153,7 +153,8 @@ class MLPSepConv(nn.Module):
         hw = int(math.isqrt(n))
         hidden = self.mlp_multiplier * self.embed_dim
 
-        if self.fused_vjp and self.dropout_level == 0:
+        if (self.fused_vjp and self.dropout_level == 0
+                and hw * hw == n and n <= FUSED_MLP_MAX_TOKENS):
             from transformer_latent_diffusion_tpu.ops.fused_mlp_vjp import (
                 fused_mlp_sepconv_vjp,
             )
@@ -198,6 +199,17 @@ class MLPSepConv(nn.Module):
 
 MLPClass = Union[Type[MLP], Type[MLPSepConv]]
 
+# Fused-VJP sequence-length limits, measured on v5e via
+# scripts/probe_fused_highres.py: at 1024 tokens (512px) the full-layer
+# and attention-pair BACKWARD kernels fail to compile (the stored
+# per-head probabilities are 12 x (N, N) f32 = 50MB on top of the other
+# residents), while the MLP VJP compiles and runs. 256 tokens (the 256px
+# flagship) is the fully-verified regime. A fused_layer_vjp request
+# beyond its limit degrades to fused-MLP + XLA attention automatically.
+FUSED_LAYER_MAX_TOKENS = 256
+FUSED_ATTN_MAX_TOKENS = 256
+FUSED_MLP_MAX_TOKENS = 1024
+
 
 class DecoderBlock(nn.Module):
     """Pre-LN DiT block: x += SA(LN x); x += CA(LN x, cond); x += MLP(LN x).
@@ -219,8 +231,21 @@ class DecoderBlock(nn.Module):
     @nn.compact
     def __call__(self, x, y, deterministic: bool = True):
         n_heads = self.embed_dim // 64
-        if (self.fused_layer_vjp and self.dropout_level == 0
-                and self.mlp_class is MLPSepConv):
+        n_tokens = x.shape[1]
+        square = int(math.isqrt(n_tokens)) ** 2 == n_tokens
+        use_layer = (self.fused_layer_vjp and self.dropout_level == 0
+                     and self.mlp_class is MLPSepConv and square
+                     and n_tokens <= FUSED_LAYER_MAX_TOKENS)
+        # beyond the full-layer limit, degrade to the component fused ops
+        # within their own measured limits
+        want_attn = self.fused_attn_vjp or (self.fused_layer_vjp
+                                            and not use_layer)
+        use_attn = (want_attn and self.dropout_level == 0
+                    and n_tokens <= FUSED_ATTN_MAX_TOKENS)
+        want_mlp = self.fused_mlp_vjp or (self.fused_layer_vjp
+                                          and not use_layer)
+        use_mlp = (want_mlp and square and n_tokens <= FUSED_MLP_MAX_TOKENS)
+        if use_layer:
             from transformer_latent_diffusion_tpu.ops.fused_layer_vjp import (
                 fused_layer_vjp,
             )
@@ -262,7 +287,7 @@ class DecoderBlock(nn.Module):
                 mv["contract"]["bias"].astype(f32),
                 n_heads, hw, jax.default_backend() == "cpu",
             ).astype(self.dtype)
-        if self.fused_attn_vjp and self.dropout_level == 0:
+        if use_attn:
             from transformer_latent_diffusion_tpu.ops.fused_attn_vjp import (
                 fused_attention_pair_vjp,
             )
@@ -302,7 +327,7 @@ class DecoderBlock(nn.Module):
             )(nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name="norm2")(x), y)
         mlp_kwargs = {}
         if self.mlp_class is MLPSepConv:
-            mlp_kwargs["fused_vjp"] = self.fused_mlp_vjp
+            mlp_kwargs["fused_vjp"] = use_mlp
         x = x + self.mlp_class(
             self.embed_dim, self.mlp_multiplier, self.dropout_level,
             dtype=self.dtype, name="mlp", **mlp_kwargs,
