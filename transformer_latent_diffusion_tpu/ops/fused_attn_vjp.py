@@ -142,12 +142,13 @@ def _bwd_kernel(x_ref, cond_ref, g_ref, ln1s, ln1b, wqkv, ln2s, ln2b, wq, wkv,
     xn1, xhat1, rstd1 = _ln_fwd(x, g1s, ln1b[0].astype(jnp.float32))
     qkv = _mm(xn1.astype(mxu), wqkv[...]).astype(mxu)
     q, k, v = qkv[:, :d], qkv[:, d:2 * d], qkv[:, 2 * d:]
+    # per-head probabilities are recomputed in the backward loop below
+    # rather than stored: 12 x (N, N) f32 of live VMEM is what makes the
+    # 1024-token backward uncompilable.
     sa_cols = []
-    sa_ps = []
     for h in range(n_heads):
         sl = slice(h * dh, (h + 1) * dh)
         p = _softmax_rows(_mm_nt(q[:, sl], k[:, sl]) * scale)
-        sa_ps.append(p)
         sa_cols.append(_mm(p.astype(mxu), v[:, sl]))
     x1 = x + jnp.concatenate(sa_cols, axis=-1)
 
@@ -191,7 +192,7 @@ def _bwd_kernel(x_ref, cond_ref, g_ref, ln1s, ln1b, wqkv, ln2s, ln2b, wq, wkv,
     dq_cols, dk_cols, dv_cols = [], [], []
     for h in range(n_heads):
         sl = slice(h * dh, (h + 1) * dh)
-        p = sa_ps[h]                                         # (N, N)
+        p = _softmax_rows(_mm_nt(q[:, sl], k[:, sl]) * scale)  # (N, N)
         gh = dx1[:, sl]
         gh_lp = gh.astype(mxu)
         dv_cols.append(_mm_tn(p.astype(mxu), gh_lp))         # (N, dh)

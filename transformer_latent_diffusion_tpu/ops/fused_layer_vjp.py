@@ -59,12 +59,10 @@ def _attn_pair_fwd(x, cond, ln1s, ln1b, wqkv, ln2s, ln2b, wq, wkv,
     xn1, xhat1, rstd1 = _ln_fwd(x, ln1s, ln1b)
     qkv = _mm(xn1.astype(mxu), wqkv).astype(mxu)
     q, k, v = qkv[:, :d], qkv[:, d:2 * d], qkv[:, 2 * d:]
-    cols, sa_ps = [], []
+    cols = []
     for h in range(n_heads):
         sl = slice(h * dh, (h + 1) * dh)
         p = _softmax_rows(_mm_nt(q[:, sl], k[:, sl]) * scale)
-        if want_residuals:
-            sa_ps.append(p)
         cols.append(_mm(p.astype(mxu), v[:, sl]))
     x1 = x + jnp.concatenate(cols, axis=-1)
 
@@ -80,7 +78,11 @@ def _attn_pair_fwd(x, cond, ln1s, ln1b, wqkv, ln2s, ln2b, wq, wkv,
     x2 = x1 + jnp.concatenate(cols, axis=-1)
     if not want_residuals:
         return x2
-    return x2, (xn1, xhat1, rstd1, q, k, v, sa_ps, x1, xn2, xhat2, rstd2,
+    # NOTE: the per-head self-attention probabilities are NOT stored —
+    # the backward recomputes each head's softmax from q/k (one small
+    # matmul + softmax per head). Storing them is 12 x (N, N) f32, which
+    # is what used to make the 1024-token backward uncompilable.
+    return x2, (xn1, xhat1, rstd1, q, k, v, x1, xn2, xhat2, rstd2,
                 qc, kc, vc)
 
 
@@ -148,7 +150,7 @@ def _bwd_kernel(x_ref, cond_ref, g_ref,
     dw9 = dw[...].astype(jnp.float32)
 
     # ---- recompute forward with residuals ----
-    x2, (xn1, xhat1, rstd1, q, k, v, sa_ps, x1, xn2, xhat2, rstd2,
+    x2, (xn1, xhat1, rstd1, q, k, v, x1, xn2, xhat2, rstd2,
          qc, kc, vc) = _attn_pair_fwd(
         x, cond, g1s, ln1b[0].astype(jnp.float32), wqkv[...],
         g2s, ln2b[0].astype(jnp.float32), wq[...], wkv[...],
@@ -207,11 +209,11 @@ def _bwd_kernel(x_ref, cond_ref, g_ref,
     dln2b_ref[...] += db2v
     dx1 = dx2 + dx1_ln
 
-    # ---- self-attention backward (upstream dx1) ----
+    # ---- self-attention backward (upstream dx1; p recomputed per head) ----
     dq_cols, dk_cols, dv_cols = [], [], []
     for hd in range(n_heads):
         sl = slice(hd * dh, (hd + 1) * dh)
-        p = sa_ps[hd]
+        p = _softmax_rows(_mm_nt(q[:, sl], k[:, sl]) * scale)
         gh_lp = dx1[:, sl].astype(mxu)
         dv_cols.append(_mm_tn(p.astype(mxu), gh_lp))
         dp = _mm_nt(gh_lp, v[:, sl])
