@@ -30,6 +30,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quantize", choices=["int8"], default=None,
                     help="opt-in W8A8 engine (not the headline parity path)")
+    ap.add_argument("--cache-interval", type=int, default=1,
+                    help="opt-in Delta-DiT block caching: recompute the "
+                         "middle layers every k-th step (1 = exact)")
     cli = ap.parse_args()
 
     from transformer_latent_diffusion_tpu.configs import DenoiserConfig
@@ -85,6 +88,7 @@ def main():
             labels=labels, n_iter=n_iter, num_imgs=num_imgs,
             class_guidance=6, seed=seed, img_size=cfg.image_size,
             sharp_f=0, bright_f=0, use_ddpm_plus=False,  # DDIM per BASELINE
+            cache_interval=cli.cache_interval,
         )
         # axon's block_until_ready is a no-op; fetching a scalar reduction
         # is the only reliable synchronization point (bulk device->host
@@ -107,6 +111,8 @@ def main():
     metric = "256px_imgs_per_sec_per_chip_50step_ddim_b32_incl_vae"
     if cli.quantize:
         metric += f"_{cli.quantize}"
+    if cli.cache_interval > 1:
+        metric += f"_cache{cli.cache_interval}"
     print(json.dumps({
         "metric": metric,
         "value": round(imgs_per_sec, 3),

@@ -30,6 +30,9 @@ def main():
     ap.add_argument("--batch", type=int, default=256)
     ap.add_argument("--steps", type=int, default=20)
     ap.add_argument("--no-fused", action="store_true")
+    ap.add_argument("--image-size", type=int, default=32,
+                    help="latent size: 32 = 256px flagship, 64 = 512px "
+                         "fine-tune regime (1024 tokens, degraded fused path)")
     args = ap.parse_args()
 
     from transformer_latent_diffusion_tpu.configs import (
@@ -43,8 +46,8 @@ def main():
     print(f"backend={jax.default_backend()} batch={args.batch}", flush=True)
 
     cfg = DenoiserConfig(
-        image_size=32, noise_embed_dims=256, patch_size=2, embed_dim=768,
-        dropout=0, n_layers=12, text_emb_size=768,
+        image_size=args.image_size, noise_embed_dims=256, patch_size=2,
+        embed_dim=768, dropout=0, n_layers=12, text_emb_size=768,
     )
     fused = not args.no_fused
     model = Denoiser(**cfg.__dict__, dtype=jnp.bfloat16,
@@ -65,7 +68,8 @@ def main():
     )
 
     rng = np.random.default_rng(0)
-    x = jnp.asarray(rng.standard_normal((args.batch, 4, 32, 32)), jnp.float32)
+    x = jnp.asarray(rng.standard_normal(
+        (args.batch, 4, args.image_size, args.image_size)), jnp.float32)
     y = jnp.asarray(rng.standard_normal((args.batch, 768)), jnp.float32)
 
     t0 = time.time()

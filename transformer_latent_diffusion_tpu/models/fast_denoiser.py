@@ -106,8 +106,7 @@ class FusedEngine:
                 params, list(range(start, start + k)), self.dtype))
         return {"params": params, "groups": groups}
 
-    def apply_prepared(self, prepared, x, noise_level, label):
-        params = prepared["params"]
+    def _prologue(self, params, x, noise_level, label):
         cfg = self.cfg
         dt = self.dtype
 
@@ -130,23 +129,78 @@ class FusedEngine:
         tokens = _ln(_dense(tokens, tb["embed_proj"], dt), tb["patch_norm2"])
         pos = jax.lax.slice_in_dim(tb["pos_embed"], 0, h * w, axis=0)
         tokens = tokens + pos.astype(dt)[None]
+        return tokens, cond, h, w
 
+    def _stack_fn(self):
         if self.quantize == "int8":
             from transformer_latent_diffusion_tpu.ops.fused_stack_int8 import (
                 fused_layer_stack_int8,
             )
 
-            stack_fn = fused_layer_stack_int8
-        else:
-            stack_fn = fused_layer_stack
+            return fused_layer_stack_int8
+        return fused_layer_stack
+
+    def _epilogue(self, params, tokens, h, w):
+        cfg = self.cfg
+        tb = params["denoiser_trans_block"]
+        out = _dense(tokens, tb["out_proj"], self.dtype)
+        return unpatchify(out.astype(jnp.float32), cfg.patch_size, h, w,
+                          cfg.n_channels)
+
+    def apply_prepared(self, prepared, x, noise_level, label):
+        params = prepared["params"]
+        tokens, cond, h, w = self._prologue(params, x, noise_level, label)
+        stack_fn = self._stack_fn()
         for group in prepared["groups"]:
             tokens = stack_fn(
                 tokens, cond, group, hw=h, n_heads=self.n_heads,
                 interpret=self.interpret,
             )
+        return self._epilogue(params, tokens, h, w)
 
-        out = _dense(tokens, tb["out_proj"], dt)
-        return unpatchify(out.astype(jnp.float32), p_sz, h, w, cfg.n_channels)
+    def cache_span(self) -> tuple:
+        """Default cached-layer span for block caching: the middle half of
+        the decoder groups (Delta-DiT-style; front/back groups always run)."""
+        n_groups = (self.cfg.n_layers + self.layers_per_call - 1) \
+            // self.layers_per_call
+        s = n_groups // 4
+        e = n_groups - n_groups // 4
+        return (s, max(e, s + 1))
+
+    def apply_prepared_cached(self, prepared, x, noise_level, label,
+                              delta, refresh):
+        """Block-cached forward (Delta-DiT-style, arXiv:2406.01125): the
+        middle layer groups' residual contribution `delta` is recomputed
+        only when `refresh` is true and reused otherwise. Returns
+        (x0_prediction, new_delta). Opt-in lossy inference acceleration;
+        exact when refreshed every step.
+        """
+        params = prepared["params"]
+        tokens, cond, h, w = self._prologue(params, x, noise_level, label)
+        stack_fn = self._stack_fn()
+        groups = prepared["groups"]
+        s, e = self.cache_span()
+
+        def run_span(tokens, lo, hi):
+            for group in groups[lo:hi]:
+                tokens = stack_fn(
+                    tokens, cond, group, hw=h, n_heads=self.n_heads,
+                    interpret=self.interpret,
+                )
+            return tokens
+
+        tokens = run_span(tokens, 0, s)
+
+        def full(tokens):
+            out = run_span(tokens, s, e)
+            return out, (out - tokens)
+
+        def skip(tokens):
+            return tokens + delta.astype(tokens.dtype), delta
+
+        tokens, new_delta = jax.lax.cond(refresh, full, skip, tokens)
+        tokens = run_span(tokens, e, len(groups))
+        return self._epilogue(params, tokens, h, w), new_delta
 
     def __call__(self, params, x, noise_level, label):
         return self.apply_prepared(self.prepare(params), x, noise_level, label)

@@ -78,9 +78,10 @@ class DiffusionGenerator:
     fast_apply: Any = None
     _compiled: Dict[Any, Any] = field(default_factory=dict, repr=False)
 
-    def _sample_fn(self, n_steps: int, shape: Tuple[int, ...]):
+    def _sample_fn(self, n_steps: int, shape: Tuple[int, ...],
+                   cache_interval: int = 1):
         """Build (and cache) the jitted scan for a given step-count/shape."""
-        key = (n_steps, shape)
+        key = (n_steps, shape, cache_interval)
         if key in self._compiled:
             return self._compiled[key]
 
@@ -113,6 +114,23 @@ class DiffusionGenerator:
             cond, uncond = x0[:num], x0[num:]
             return class_guidance * cond + (1.0 - class_guidance) * uncond
 
+        use_cache = (cache_interval > 1 and use_fast
+                     and hasattr(fast_apply, "apply_prepared_cached"))
+        if cache_interval > 1 and not use_cache:
+            raise ValueError(
+                "cache_interval > 1 requires the fused engine "
+                "(fast_apply with apply_prepared_cached) and <= 1024 tokens")
+
+        def pred_x0_cached(prepared, x_t, labels_cat, noise_level,
+                           class_guidance, delta, refresh):
+            num = x_t.shape[0]
+            x2 = jnp.concatenate([x_t, x_t], axis=0)
+            noises = jnp.full((2 * num, 1), noise_level, dtype=x_t.dtype)
+            x0, delta = fast_apply.apply_prepared_cached(
+                prepared, x2, noises, labels_cat, delta, refresh)
+            cond, uncond = x0[:num], x0[num:]
+            return class_guidance * cond + (1.0 - class_guidance) * uncond, delta
+
         @jax.jit
         def run(params, x_init, labels_cat, noise_levels, c1, c2, class_guidance):
             prepared = prepare(params)
@@ -125,15 +143,38 @@ class DiffusionGenerator:
                 x_t = ((curr - nxt) * d + nxt * x_t) / curr
                 return (x_t, x0), None
 
+            def step_cached(carry, inputs):
+                x_t, x0_prev, delta = carry
+                i, curr, nxt, a, b = inputs
+                refresh = (i % cache_interval) == 0
+                x0, delta = pred_x0_cached(
+                    prepared, x_t, labels_cat, curr, class_guidance,
+                    delta, refresh)
+                d = a * x0 + b * x0_prev
+                x_t = ((curr - nxt) * d + nxt * x_t) / curr
+                return (x_t, x0, delta), None
+
             xs = (
                 noise_levels[:-1],
                 noise_levels[1:],
                 c1,
                 c2,
             )
-            (x_t, _), _ = jax.lax.scan(
-                step, (x_init, jnp.zeros_like(x_init)), xs, length=n_steps
-            )
+            if use_cache:
+                cfg = fast_apply.cfg
+                b2 = 2 * x_init.shape[0]
+                n_tok = (x_init.shape[-1] // cfg.patch_size) ** 2
+                delta0 = jnp.zeros((b2, n_tok, cfg.embed_dim),
+                                   dtype=fast_apply.dtype)
+                (x_t, _, _), _ = jax.lax.scan(
+                    step_cached,
+                    (x_init, jnp.zeros_like(x_init), delta0),
+                    (jnp.arange(n_steps),) + xs, length=n_steps,
+                )
+            else:
+                (x_t, _), _ = jax.lax.scan(
+                    step, (x_init, jnp.zeros_like(x_init)), xs, length=n_steps
+                )
             # final extra denoise at the last level (reference diffusion.py:85)
             x0 = pred_x0(prepared, x_t, labels_cat, noise_levels[-1], class_guidance)
             return x0
@@ -170,12 +211,18 @@ class DiffusionGenerator:
         seeds=None,
         noise_levels=None,
         use_ddpm_plus: bool = True,
+        cache_interval: int = 1,
     ):
         """Generate images via reverse diffusion.
 
         Returns (decoded images (N,3,H,W) as a jnp array — or None if no
         VAE is attached — and the x0 latents (N,C,S,S)).
         Parity: reference DiffusionGenerator.generate (diffusion.py:29-92).
+
+        cache_interval > 1 enables Delta-DiT-style block caching on the
+        fused engine: the middle layer groups are recomputed only every
+        `cache_interval`-th step and their cached residual contribution is
+        reused in between. Opt-in lossy acceleration; 1 = exact (default).
         """
         if noise_levels is None:
             noise_levels = make_noise_levels(n_iter, exponent)
@@ -189,7 +236,7 @@ class DiffusionGenerator:
         labels = jnp.asarray(labels, dtype=jnp.float32)
         labels_cat = jnp.concatenate([labels, jnp.zeros_like(labels)], axis=0)
 
-        run = self._sample_fn(n_steps, tuple(x_t.shape))
+        run = self._sample_fn(n_steps, tuple(x_t.shape), cache_interval)
         x0 = run(
             self.params,
             x_t,
