@@ -1,10 +1,12 @@
-"""Quantify int8 engine drift on the flagship model: 50-step DDIM
-latents, bf16 fused engine vs W8A8 int8 engine, same seed/labels.
+"""Quantify lossy-mode drift on the flagship model: 50-step DDIM
+latents vs the exact bf16 fused engine, same seed/labels, for
+(a) the W8A8 int8 engine and (b) Delta-DiT block caching at interval 2
+and 3.
 
 Reports cosine similarity and relative L2/Linf of the final latents —
-the honest accuracy statement for the opt-in quantized engine (random
-init; trained weights are typically easier to quantize than random ones
-since activations are better conditioned).
+the honest accuracy statement for the opt-in acceleration modes (random
+init; trained weights are typically easier than random ones since
+activations are better conditioned).
 
 Usage: python scripts/probe_int8_accuracy.py
 """
@@ -39,8 +41,7 @@ def main():
     params = init_denoiser_params(model, cfg)
     labels = jax.random.normal(jax.random.PRNGKey(0), (8, 768))
 
-    lats = {}
-    for mode in (None, "int8"):
+    def run(mode, interval):
         engine = make_fused_apply(cfg, compute_dtype=jnp.bfloat16,
                                   quantize=mode)
         gen = DiffusionGenerator(model=model, params=params, vae=None,
@@ -48,17 +49,22 @@ def main():
         _, lat = gen.generate(labels=labels, n_iter=50, num_imgs=8,
                               class_guidance=6, seed=11,
                               img_size=cfg.image_size,
-                              sharp_f=0, bright_f=0, use_ddpm_plus=False)
-        lats[mode] = np.asarray(jax.device_get(lat), np.float64)
-        print(f"{mode or 'bf16'}: latents ok "
-              f"std={lats[mode].std():.4f}", flush=True)
+                              sharp_f=0, bright_f=0, use_ddpm_plus=False,
+                              cache_interval=interval)
+        return np.asarray(jax.device_get(lat), np.float64)
 
-    a, b = lats[None].ravel(), lats["int8"].ravel()
-    cos = a @ b / (np.linalg.norm(a) * np.linalg.norm(b))
-    rel_l2 = np.linalg.norm(a - b) / np.linalg.norm(a)
-    rel_linf = np.abs(a - b).max() / np.abs(a).max()
-    print(f"cosine={cos:.5f} rel_l2={rel_l2:.4f} rel_linf={rel_linf:.4f}",
-          flush=True)
+    base = run(None, 1)
+    print(f"bf16 exact: std={base.std():.4f}", flush=True)
+    a = base.ravel()
+    for tag, mode, interval in (("int8", "int8", 1),
+                                ("cache2", None, 2),
+                                ("cache3", None, 3)):
+        b = run(mode, interval).ravel()
+        cos = a @ b / (np.linalg.norm(a) * np.linalg.norm(b))
+        rel_l2 = np.linalg.norm(a - b) / np.linalg.norm(a)
+        rel_linf = np.abs(a - b).max() / np.abs(a).max()
+        print(f"{tag:8s} cosine={cos:.5f} rel_l2={rel_l2:.4f} "
+              f"rel_linf={rel_linf:.4f}", flush=True)
 
 
 if __name__ == "__main__":

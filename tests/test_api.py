@@ -89,3 +89,17 @@ def test_generate_image_missing_prompt(client):
     r = client.post_json("/generate-image/", {},
                          headers={"Authorization": f"Bearer {token}"})
     assert r["status"] == 422
+
+
+def test_generate_image_with_acceleration_knobs(client):
+    """Beyond-reference request fields: n_iter and cache_interval are
+    accepted; on a non-fused deployment cache_interval falls back to
+    exact sampling (with a warning) and still returns a valid JPEG."""
+    token = os.getenv("API_TOKEN")
+    r = client.post_json(
+        "/generate-image/",
+        {"prompt": "a cute cat", "n_iter": 4, "cache_interval": 2},
+        headers={"Authorization": f"Bearer {token}"})
+    assert r["status"] == 200
+    img = PIL.Image.open(io.BytesIO(r["body"]))
+    assert img.format == "JPEG"

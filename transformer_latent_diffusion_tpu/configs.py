@@ -163,6 +163,9 @@ class LTDConfig:
     vae_cfg: VaeConfig = field(default_factory=VaeConfig)
     clip_cfg: ClipConfig = field(default_factory=ClipConfig)
     use_pallas: bool = True  # fused Pallas attention on TPU (auto-falls back on CPU)
+    # beyond reference: opt-in lossy acceleration of the fused engine —
+    # None (exact bf16) or "int8" (W8A8 projections, ~1.1x end-to-end)
+    quantize: Optional[str] = None
 
 
 @dataclass

@@ -117,9 +117,12 @@ class DiffusionGenerator:
         use_cache = (cache_interval > 1 and use_fast
                      and hasattr(fast_apply, "apply_prepared_cached"))
         if cache_interval > 1 and not use_cache:
-            raise ValueError(
-                "cache_interval > 1 requires the fused engine "
-                "(fast_apply with apply_prepared_cached) and <= 1024 tokens")
+            import warnings
+
+            warnings.warn(
+                "cache_interval > 1 requires the fused engine (fast_apply "
+                "with apply_prepared_cached) and <= 1024 tokens; falling "
+                "back to exact sampling", stacklevel=2)
 
         def pred_x0_cached(prepared, x_t, labels_cat, noise_level,
                            class_guidance, delta, refresh):

@@ -134,7 +134,8 @@ class DiffusionTransformer:
                 make_fused_apply,
             )
 
-            fast_apply = make_fused_apply(cfg.denoiser_cfg, compute_dtype=dtype)
+            fast_apply = make_fused_apply(cfg.denoiser_cfg, compute_dtype=dtype,
+                                          quantize=getattr(cfg, "quantize", None))
 
         self.diffuser = DiffusionGenerator(
             model=denoiser, params=params, vae=self.vae, model_dtype=dtype,
@@ -149,10 +150,13 @@ class DiffusionTransformer:
         num_imgs=1,
         img_size=32,
         n_iter=15,
+        cache_interval=1,
     ):
         """Prompt -> PIL image grid. Parity: reference diffusion.py:165-186
         (including: the latent size comes from the model's image_size; the
-        img_size argument is accepted but unused, like the reference)."""
+        img_size argument is accepted but unused, like the reference).
+        cache_interval > 1 enables Delta-DiT block caching (beyond
+        reference; requires the fused engine)."""
         nrow = int(math.sqrt(num_imgs))
 
         labels = encode_text([prompt] * num_imgs, self.clip_model)
@@ -167,6 +171,7 @@ class DiffusionTransformer:
             scale_factor=8,
             sharp_f=0,
             bright_f=0,
+            cache_interval=cache_interval,
         )
         grid = make_grid((np.asarray(out) + 1.0) / 2.0, nrow=nrow, padding=4)
         return to_pil(np.clip(grid, 0.0, 1.0))

@@ -38,10 +38,12 @@ class GenerationService:
 
     def generate_jpeg(self, prompt: str, class_guidance: float = 6,
                       seed: int = 11, num_imgs: int = 1,
-                      img_size: int = 32) -> bytes:
+                      img_size: int = 32, n_iter: int = 15,
+                      cache_interval: int = 1) -> bytes:
         img = self.transformer.generate_image_from_text(
             prompt=prompt, class_guidance=class_guidance, seed=seed,
-            num_imgs=num_imgs, img_size=img_size,
+            num_imgs=num_imgs, img_size=img_size, n_iter=n_iter,
+            cache_interval=cache_interval,
         )
         buf = io.BytesIO()
         img.save(buf, format="JPEG")
@@ -49,7 +51,11 @@ class GenerationService:
 
 
 WELCOME = {"message": "Welcome to Image Generator"}
-REQUEST_DEFAULTS = {"class_guidance": 6, "seed": 11, "num_imgs": 1, "img_size": 32}
+# reference schema fields (app.py:35-41) plus beyond-reference knobs:
+# n_iter (sampling steps) and cache_interval (Delta-DiT block caching,
+# fused engine only)
+REQUEST_DEFAULTS = {"class_guidance": 6, "seed": 11, "num_imgs": 1,
+                    "img_size": 32, "n_iter": 15, "cache_interval": 1}
 
 
 def _check_token(auth_header: Optional[str]):
@@ -136,6 +142,8 @@ def create_fastapi_app(cfg: Optional[LTDConfig] = None, service=None):
         seed: int = 11
         num_imgs: int = 1
         img_size: int = 32
+        n_iter: int = 15
+        cache_interval: int = 1
 
     @app.get("/")
     def read_root():
@@ -148,7 +156,8 @@ def create_fastapi_app(cfg: Optional[LTDConfig] = None, service=None):
             jpeg = svc.generate_jpeg(
                 prompt=request.prompt, class_guidance=request.class_guidance,
                 seed=request.seed, num_imgs=request.num_imgs,
-                img_size=request.img_size,
+                img_size=request.img_size, n_iter=request.n_iter,
+                cache_interval=request.cache_interval,
             )
             return StreamingResponse(io.BytesIO(jpeg), media_type="image/jpeg")
         except Exception as e:
