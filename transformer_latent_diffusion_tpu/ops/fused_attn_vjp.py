@@ -26,6 +26,10 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+# scoped-VMEM budget for these kernels (v5e has 128MiB); module-level
+# so probes can tune it without editing call sites
+VMEM_LIMIT_BYTES = 100 * 1024 * 1024
+
 LN_EPS = 1e-5
 
 
@@ -238,7 +242,7 @@ def _pallas_fwd(x, cond, ln1s, ln1b, wqkv, ln2s, ln2b, wq, wkv, n_heads,
         out_specs=pl.BlockSpec((1, n, d), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
+            vmem_limit_bytes=VMEM_LIMIT_BYTES),
         interpret=interpret,
     )(x, cond, ln1s.reshape(1, d), ln1b.reshape(1, d), wqkv,
       ln2s.reshape(1, d), ln2b.reshape(1, d), wq, wkv)
@@ -278,7 +282,7 @@ def _pallas_bwd(x, cond, g, ln1s, ln1b, wqkv, ln2s, ln2b, wq, wkv, n_heads,
             pl.BlockSpec((d, 2 * d), const, memory_space=pltpu.VMEM),
         ),
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
+            vmem_limit_bytes=VMEM_LIMIT_BYTES),
         interpret=interpret,
     )(x, cond, g, ln1s.reshape(1, d), ln1b.reshape(1, d), wqkv,
       ln2s.reshape(1, d), ln2b.reshape(1, d), wq, wkv)

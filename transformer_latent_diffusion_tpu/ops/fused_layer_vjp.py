@@ -45,6 +45,10 @@ from transformer_latent_diffusion_tpu.ops.fused_mlp_vjp import (
     _gelu_grad_f32,
 )
 
+# scoped-VMEM budget for these kernels (v5e has 128MiB); module-level
+# so probes can tune it without editing call sites
+VMEM_LIMIT_BYTES = 110 * 1024 * 1024
+
 # parameter order used throughout (matches pack order)
 PARAM_NAMES = ("ln1s", "ln1b", "wqkv", "ln2s", "ln2b", "wq", "wkv",
                "ln3s", "ln3b", "w1", "b1", "dw", "dwb", "w2", "b2")
@@ -267,7 +271,7 @@ def _pallas_fwd(x, cond, params, n_heads, hw, interpret):
         out_specs=pl.BlockSpec((1, n, d), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=110 * 1024 * 1024),
+            vmem_limit_bytes=VMEM_LIMIT_BYTES),
         interpret=interpret,
     )(x, cond, *_reshape_params(params))
 
@@ -295,7 +299,7 @@ def _pallas_bwd(x, cond, g, params, n_heads, hw, interpret):
             + [pl.BlockSpec(s, const, memory_space=pltpu.VMEM)
                for s in pshapes]),
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=110 * 1024 * 1024),
+            vmem_limit_bytes=VMEM_LIMIT_BYTES),
         interpret=interpret,
     )(x, cond, g, *_reshape_params(params))
 

@@ -28,6 +28,10 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+# scoped-VMEM budget for these kernels (v5e has 128MiB); module-level
+# so probes can tune it without editing call sites
+VMEM_LIMIT_BYTES = 100 * 1024 * 1024
+
 from transformer_latent_diffusion_tpu.ops.fused_block import _erf_poly
 
 _INV_SQRT2 = 1.0 / math.sqrt(2.0)
@@ -195,7 +199,7 @@ def _pallas_fwd(x, w1, b1, dw, dwb, w2, b2, hw, interpret):
         out_specs=pl.BlockSpec((1, n, d), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
+            vmem_limit_bytes=VMEM_LIMIT_BYTES),
         interpret=interpret,
     )(x, w1, b1.reshape(1, -1), dw.reshape(9, -1), dwb.reshape(1, -1),
       w2, b2.reshape(1, -1))
@@ -236,7 +240,7 @@ def _pallas_bwd(x, g, w1, b1, dw, dwb, w2, hw, interpret):
             pl.BlockSpec((1, d), const, memory_space=pltpu.VMEM),
         ),
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
+            vmem_limit_bytes=VMEM_LIMIT_BYTES),
         interpret=interpret,
     )(x, g, w1, b1.reshape(1, -1), dw.reshape(9, -1), dwb.reshape(1, -1), w2)
     return outs

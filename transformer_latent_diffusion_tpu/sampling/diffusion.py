@@ -96,9 +96,12 @@ class DiffusionGenerator:
             return params
 
         # the fused engine holds per-head (N, N) attention scores in VMEM;
-        # beyond 1024 tokens (hw > 32) that no longer fits -> XLA path
+        # measured on v5e: excellent at 256 tokens (hw 16), but at 1024
+        # tokens (hw 32) it compiles yet runs ~45x SLOWER than the XLA
+        # path (VMEM thrash) — scripts/probe_highres_generate.py. Gate at
+        # the measured-good regime.
         hw = shape[-1] // getattr(model, "patch_size", 1)
-        use_fast = fast_apply is not None and hw <= 32
+        use_fast = fast_apply is not None and hw <= 16
 
         def pred_x0(prepared, x_t, labels_cat, noise_level, class_guidance):
             """Double-batch CFG denoiser call (reference diffusion.py:94-103)."""
@@ -121,7 +124,7 @@ class DiffusionGenerator:
 
             warnings.warn(
                 "cache_interval > 1 requires the fused engine (fast_apply "
-                "with apply_prepared_cached) and <= 1024 tokens; falling "
+                "with apply_prepared_cached) and <= 256 tokens; falling "
                 "back to exact sampling", stacklevel=2)
 
         def pred_x0_cached(prepared, x_t, labels_cat, noise_level,
