@@ -77,3 +77,34 @@ def test_graft_entry_and_dryrun():
 
     mod.dryrun_multichip(8)
     mod.dryrun_multichip(4)
+
+
+def test_sharded_generation_matches_single_device():
+    """generate() with a mesh shards the sampling scan batch-DP over the
+    'data' axis (GSPMD) and must match the unsharded XLA path."""
+    from dataclasses import asdict
+
+    from transformer_latent_diffusion_tpu.configs import DenoiserConfig
+    from transformer_latent_diffusion_tpu.models import Denoiser
+    from transformer_latent_diffusion_tpu.sampling import DiffusionGenerator
+    from transformer_latent_diffusion_tpu.utils import init_denoiser_params
+
+    cfg = DenoiserConfig()
+    model = Denoiser(**asdict(cfg))
+    params = init_denoiser_params(model, cfg)
+    labels = jnp.asarray(
+        np.random.default_rng(0).standard_normal((8, cfg.text_emb_size)),
+        dtype=jnp.float32)
+    kw = dict(labels=labels, num_imgs=8, img_size=cfg.image_size, n_iter=4,
+              seed=5, sharp_f=0, bright_f=0, use_ddpm_plus=False)
+
+    gen = DiffusionGenerator(model=model, params=params, vae=None)
+    _, want = gen.generate(**kw)
+
+    mesh = create_mesh()  # all 8 virtual devices on 'data'
+    gen_sharded = DiffusionGenerator(model=model, params=params, vae=None,
+                                     mesh=mesh)
+    _, got = gen_sharded.generate(**kw)
+    assert len(got.sharding.device_set) == len(jax.devices())
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-4, rtol=1e-4)

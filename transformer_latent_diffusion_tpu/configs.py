@@ -166,6 +166,9 @@ class LTDConfig:
     # beyond reference: opt-in lossy acceleration of the fused engine —
     # None (exact bf16) or "int8" (W8A8 projections, ~1.1x end-to-end)
     quantize: Optional[str] = None
+    # beyond reference: shard generation batch-data-parallel over a
+    # ('data','model') device mesh, e.g. (8, 1); None = single device
+    mesh_shape: Optional[Tuple[int, int]] = None
 
 
 @dataclass

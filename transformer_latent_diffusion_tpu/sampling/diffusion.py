@@ -76,6 +76,10 @@ class DiffusionGenerator:
     # optional fused Pallas engine (models/fast_denoiser.make_fused_apply);
     # when set, the scan calls it instead of model.apply
     fast_apply: Any = None
+    # optional jax.sharding.Mesh: shard generation batch-data-parallel
+    # over the 'data' axis (multi-chip serving, beyond reference). Uses
+    # the XLA model path (pallas calls are not auto-partitionable).
+    mesh: Any = None
     _compiled: Dict[Any, Any] = field(default_factory=dict, repr=False)
 
     def _sample_fn(self, n_steps: int, shape: Tuple[int, ...],
@@ -99,9 +103,11 @@ class DiffusionGenerator:
         # measured on v5e: excellent at 256 tokens (hw 16), but at 1024
         # tokens (hw 32) it compiles yet runs ~45x SLOWER than the XLA
         # path (VMEM thrash) — scripts/probe_highres_generate.py. Gate at
-        # the measured-good regime.
+        # the measured-good regime. Mesh-sharded generation always takes
+        # the XLA path (partitionable by GSPMD).
         hw = shape[-1] // getattr(model, "patch_size", 1)
-        use_fast = fast_apply is not None and hw <= 16
+        use_fast = (fast_apply is not None and hw <= 16
+                    and self.mesh is None)
 
         def pred_x0(prepared, x_t, labels_cat, noise_level, class_guidance):
             """Double-batch CFG denoiser call (reference diffusion.py:94-103)."""
@@ -241,6 +247,20 @@ class DiffusionGenerator:
         x_t = self.initialize_image(seeds, num_imgs, img_size, seed)
         labels = jnp.asarray(labels, dtype=jnp.float32)
         labels_cat = jnp.concatenate([labels, jnp.zeros_like(labels)], axis=0)
+
+        if self.mesh is not None:
+            # batch-data-parallel generation over the mesh 'data' axis;
+            # GSPMD partitions the whole scan (CFG double-batch keeps the
+            # cond/uncond halves aligned shard-by-shard since labels_cat
+            # is [labels; zeros] with the same per-shard layout)
+            from transformer_latent_diffusion_tpu.parallel import (
+                batch_sharding,
+                replicated,
+            )
+
+            x_t = jax.device_put(x_t, batch_sharding(self.mesh))
+            labels_cat = jax.device_put(labels_cat, batch_sharding(self.mesh))
+            self.params = jax.device_put(self.params, replicated(self.mesh))
 
         run = self._sample_fn(n_steps, tuple(x_t.shape), cache_interval)
         x0 = run(

@@ -137,9 +137,15 @@ class DiffusionTransformer:
             fast_apply = make_fused_apply(cfg.denoiser_cfg, compute_dtype=dtype,
                                           quantize=getattr(cfg, "quantize", None))
 
+        mesh = None
+        if getattr(cfg, "mesh_shape", None) is not None:
+            from transformer_latent_diffusion_tpu.parallel import create_mesh
+
+            mesh = create_mesh(cfg.mesh_shape)
+
         self.diffuser = DiffusionGenerator(
             model=denoiser, params=params, vae=self.vae, model_dtype=dtype,
-            fast_apply=fast_apply,
+            fast_apply=fast_apply, mesh=mesh,
         )
 
     def generate_image_from_text(
