@@ -198,3 +198,35 @@ def test_sample_beta_distribution():
 
     g = np.asarray(sample_beta(jax.random.PRNGKey(1), 2.0, 3.0, (n,)))
     assert abs(g.mean() - 2.0 / 5.0) < 0.01  # Beta(2,3) mean
+
+
+def test_warmup_optimizer_schedule():
+    """make_optimizer: warmup_steps=0 is plain Adam at lr; warmup_steps=k
+    ramps the effective step size linearly from 0 to lr over k steps."""
+    import optax
+
+    from transformer_latent_diffusion_tpu.train.train import make_optimizer
+
+    lr = 3e-4
+    params = {"w": jnp.ones((4,))}
+    grads = {"w": jnp.ones((4,))}
+
+    # warmup path: first update must be ~0, k-th update at full lr
+    k = 10
+    opt = make_optimizer(TrainConfig(lr=lr, warmup_steps=k))
+    state = opt.init(params)
+    updates, state = opt.update(grads, state, params)
+    assert float(jnp.abs(updates["w"]).max()) < lr * 1e-3
+    for _ in range(k):
+        updates, state = opt.update(grads, state, params)
+    # adam with constant grads has |update| == current lr
+    assert abs(float(jnp.abs(updates["w"]).max()) - lr) < lr * 0.05
+
+    # no-warmup path: first update already at full lr
+    opt0 = make_optimizer(TrainConfig(lr=lr, warmup_steps=0))
+    s0 = opt0.init(params)
+    u0, _ = opt0.update(grads, s0, params)
+    assert abs(float(jnp.abs(u0["w"]).max()) - lr) < lr * 0.05
+    ref = optax.adam(lr).update(grads, optax.adam(lr).init(params), params)[0]
+    np.testing.assert_allclose(np.asarray(u0["w"]), np.asarray(ref["w"]),
+                               rtol=1e-6)

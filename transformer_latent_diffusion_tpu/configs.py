@@ -135,6 +135,10 @@ class TrainConfig:
     beta_a: float = 1
     beta_b: float = 2.5
     save_and_eval_every_iters: int = 1000
+    # linear LR warmup steps, then constant lr. The reference code uses
+    # plain Adam (train.py:86) but its published 101M run used a
+    # 1000-step warmup (README.md:192); 0 = reference-code behaviour.
+    warmup_steps: int = 0
     run_id: str = ""
     model_name: str = ""
     compile: bool = True  # kept for parity; JAX always jits — False disables donation

@@ -96,6 +96,23 @@ def eval_gen(diffuser: DiffusionGenerator, labels, img_size: int):
     return img
 
 
+def make_optimizer(train_cfg) -> optax.GradientTransformation:
+    """Adam, optionally with linear LR warmup to `train_cfg.lr`.
+
+    warmup_steps=0 matches the reference code exactly (plain Adam,
+    train.py:86); warmup_steps=1000 matches the published 101M training
+    recipe (reference README.md:192)."""
+    warmup = int(getattr(train_cfg, "warmup_steps", 0) or 0)
+    if warmup <= 0:
+        return optax.adam(train_cfg.lr)
+    schedule = optax.join_schedules(
+        [optax.linear_schedule(0.0, train_cfg.lr, warmup),
+         optax.constant_schedule(train_cfg.lr)],
+        boundaries=[warmup],
+    )
+    return optax.adam(schedule)
+
+
 def _build_train_step(model: Denoiser, optimizer, train_cfg, vae_scale_factor):
     accum = max(1, train_cfg.grad_accum_steps)
 
@@ -224,7 +241,7 @@ def main(config: ModelConfig, init_params: Optional[Any] = None) -> Dict[str, An
     else:
         params = init_denoiser_params(model, denoiser_config,
                                       seed=train_config.seed)
-    optimizer = optax.adam(train_config.lr)
+    optimizer = make_optimizer(train_config)
     opt_state = optimizer.init(params)
 
     ckpt_mgr = None
@@ -260,8 +277,7 @@ def main(config: ModelConfig, init_params: Optional[Any] = None) -> Dict[str, An
     b_shard = batch_sharding(mesh)
     params = jax.device_put(params, p_shard)
     ema_params = jax.device_put(ema_params, p_shard)
-    opt_state = jax.device_put(opt_state, jax.tree.map(
-        lambda x: p_shard if False else rep, opt_state))
+    opt_state = jax.device_put(opt_state, jax.tree.map(lambda x: rep, opt_state))
     state = {
         "params": params,
         "ema_params": ema_params,
