@@ -109,6 +109,16 @@ class DiffusionGenerator:
         use_fast = (fast_apply is not None and hw <= 16
                     and self.mesh is None)
 
+        def _cfg_combine(cond, uncond, class_guidance):
+            # class_guidance may be a scalar (reference semantics) or a
+            # per-image vector (num,) — used by the serving micro-batcher
+            # to coalesce requests with different guidance strengths into
+            # one scan call.
+            g = class_guidance
+            if getattr(g, "ndim", 0) == 1:
+                g = g.reshape(-1, *([1] * (cond.ndim - 1)))
+            return g * cond + (1.0 - g) * uncond
+
         def pred_x0(prepared, x_t, labels_cat, noise_level, class_guidance):
             """Double-batch CFG denoiser call (reference diffusion.py:94-103)."""
             num = x_t.shape[0]
@@ -120,8 +130,7 @@ class DiffusionGenerator:
                 x0 = fast_apply(prepared, x2, noises, labels_cat)
             else:
                 x0 = model.apply({"params": prepared}, x2, noises, labels_cat)
-            cond, uncond = x0[:num], x0[num:]
-            return class_guidance * cond + (1.0 - class_guidance) * uncond
+            return _cfg_combine(x0[:num], x0[num:], class_guidance)
 
         use_cache = (cache_interval > 1 and use_fast
                      and hasattr(fast_apply, "apply_prepared_cached"))
@@ -140,8 +149,7 @@ class DiffusionGenerator:
             noises = jnp.full((2 * num, 1), noise_level, dtype=x_t.dtype)
             x0, delta = fast_apply.apply_prepared_cached(
                 prepared, x2, noises, labels_cat, delta, refresh)
-            cond, uncond = x0[:num], x0[num:]
-            return class_guidance * cond + (1.0 - class_guidance) * uncond, delta
+            return _cfg_combine(x0[:num], x0[num:], class_guidance), delta
 
         @jax.jit
         def run(params, x_init, labels_cat, noise_levels, c1, c2, class_guidance):

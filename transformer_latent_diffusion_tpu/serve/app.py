@@ -29,22 +29,44 @@ from transformer_latent_diffusion_tpu.configs import LTDConfig
 
 
 class GenerationService:
-    """Model wrapper shared by both frontends."""
+    """Model wrapper shared by both frontends.
 
-    def __init__(self, cfg: Optional[LTDConfig] = None, transformer=None):
+    microbatch: coalesce concurrent requests into batched scan calls via
+    serve/batcher.MicroBatcher (beyond-reference; also enabled by setting
+    the SERVE_MICROBATCH env var to a max batch size, e.g. "32").
+    Requests with cache_interval != 1 bypass the batcher.
+    """
+
+    def __init__(self, cfg: Optional[LTDConfig] = None, transformer=None,
+                 microbatch: Optional[int] = None, max_wait_ms: float = 25.0):
         from transformer_latent_diffusion_tpu.sampling import DiffusionTransformer
 
         self.transformer = transformer or DiffusionTransformer(cfg or LTDConfig())
+        if microbatch is None and os.getenv("SERVE_MICROBATCH"):
+            microbatch = int(os.environ["SERVE_MICROBATCH"])
+        self.batcher = None
+        if microbatch:
+            from transformer_latent_diffusion_tpu.serve.batcher import MicroBatcher
+
+            self.batcher = MicroBatcher(self.transformer,
+                                        max_batch=microbatch,
+                                        max_wait_ms=max_wait_ms)
 
     def generate_jpeg(self, prompt: str, class_guidance: float = 6,
                       seed: int = 11, num_imgs: int = 1,
                       img_size: int = 32, n_iter: int = 15,
                       cache_interval: int = 1) -> bytes:
-        img = self.transformer.generate_image_from_text(
-            prompt=prompt, class_guidance=class_guidance, seed=seed,
-            num_imgs=num_imgs, img_size=img_size, n_iter=n_iter,
-            cache_interval=cache_interval,
-        )
+        if self.batcher is not None and cache_interval == 1:
+            img = self.batcher.generate(
+                prompt=prompt, class_guidance=class_guidance, seed=seed,
+                num_imgs=num_imgs, img_size=img_size, n_iter=n_iter,
+            )
+        else:
+            img = self.transformer.generate_image_from_text(
+                prompt=prompt, class_guidance=class_guidance, seed=seed,
+                num_imgs=num_imgs, img_size=img_size, n_iter=n_iter,
+                cache_interval=cache_interval,
+            )
         buf = io.BytesIO()
         img.save(buf, format="JPEG")
         return buf.getvalue()

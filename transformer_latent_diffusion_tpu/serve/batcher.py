@@ -1,0 +1,216 @@
+"""Serving micro-batcher: coalesce concurrent generation requests.
+
+Beyond-reference capability (the reference serves one request at a time,
+app.py:48-65). On TPU a batch-32 generation costs barely more wall-clock
+than batch-1 — the 50-step scan is MXU-bound and utilization collapses at
+tiny batches — so a production service should coalesce concurrent HTTP
+requests into one scan call.
+
+Design:
+  * requests enqueue (prompt, guidance, seed, num_imgs, n_iter) and block
+    on an event; a single worker thread drains the queue;
+  * each cycle groups requests by n_iter (the only knob that changes the
+    compiled scan's math), packs up to `max_batch` images, and pads the
+    batch up to a fixed BUCKET size so XLA compiles one program per
+    bucket instead of one per batch size;
+  * per-request determinism is preserved exactly: each request's initial
+    noise is drawn from its own PRNGKey(seed) — identical to what
+    `DiffusionTransformer.generate_image_from_text` would produce for
+    the same arguments served alone — and classifier-free guidance is a
+    per-image vector, so heterogeneous guidance strengths batch together.
+
+Thread-safety note: JAX dispatch is thread-safe, but all generation goes
+through the single worker thread anyway, serializing device use.
+"""
+
+from __future__ import annotations
+
+import math
+import queue
+import threading
+import time
+from dataclasses import dataclass, field
+from typing import Any, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from transformer_latent_diffusion_tpu.utils import make_grid, to_pil
+
+DEFAULT_BUCKETS = (1, 2, 4, 8, 16, 32)
+
+
+@dataclass
+class _Request:
+    prompt: str
+    class_guidance: float
+    seed: int
+    num_imgs: int
+    n_iter: int
+    done: threading.Event = field(default_factory=threading.Event)
+    result: Any = None
+    error: Optional[BaseException] = None
+
+
+class MicroBatcher:
+    """Coalesces `generate` calls into batched diffusion scans.
+
+    Parameters
+    ----------
+    transformer : DiffusionTransformer
+        The pipeline to serve (its `.diffuser` and `.clip_model` are used).
+    max_batch : int
+        Maximum images per device call (also the largest bucket).
+    max_wait_ms : float
+        How long the worker lingers after the first request of a cycle to
+        let more requests join the batch.
+    buckets : sequence of int
+        Batch sizes to pad to (ascending). One XLA program is compiled
+        per bucket on first use.
+    """
+
+    def __init__(self, transformer, max_batch: int = 32,
+                 max_wait_ms: float = 25.0,
+                 buckets: Sequence[int] = DEFAULT_BUCKETS):
+        self.transformer = transformer
+        self.max_batch = int(max_batch)
+        self.max_wait_ms = float(max_wait_ms)
+        self.buckets = tuple(sorted(b for b in buckets if b <= max_batch))
+        if not self.buckets or self.buckets[-1] != self.max_batch:
+            self.buckets = tuple(
+                b for b in self.buckets if b < self.max_batch
+            ) + (self.max_batch,)
+        self._queue: "queue.Queue[Optional[_Request]]" = queue.Queue()
+        self._worker = threading.Thread(target=self._run, daemon=True,
+                                        name="microbatcher")
+        self._closed = False
+        self._worker.start()
+
+    # ------------------------------------------------------------- API --
+
+    def generate(self, prompt: str, class_guidance: float = 6,
+                 seed: int = 11, num_imgs: int = 1, img_size: int = 32,
+                 n_iter: int = 15, timeout: Optional[float] = None):
+        """Blocking generate; returns the same PIL grid as
+        `DiffusionTransformer.generate_image_from_text` (img_size is
+        accepted-but-unused exactly like the reference API)."""
+        if self._closed:
+            raise RuntimeError("MicroBatcher is closed")
+        if num_imgs > self.max_batch:
+            raise ValueError(
+                f"num_imgs={num_imgs} exceeds max_batch={self.max_batch}")
+        req = _Request(prompt=prompt, class_guidance=float(class_guidance),
+                       seed=int(seed), num_imgs=int(num_imgs),
+                       n_iter=int(n_iter))
+        self._queue.put(req)
+        if not req.done.wait(timeout):
+            raise TimeoutError("generation timed out")
+        if req.error is not None:
+            raise req.error
+        return req.result
+
+    def close(self):
+        """Stop the worker (pending requests are still served first)."""
+        if not self._closed:
+            self._closed = True
+            self._queue.put(None)
+            self._worker.join()
+
+    # ---------------------------------------------------------- worker --
+
+    def _run(self):
+        while True:
+            first = self._queue.get()
+            if first is None:
+                return
+            batch = [first]
+            n_imgs = first.num_imgs
+            deadline = time.monotonic() + self.max_wait_ms / 1e3
+            stop = False
+            while n_imgs < self.max_batch:
+                wait = deadline - time.monotonic()
+                try:
+                    nxt = self._queue.get(timeout=max(wait, 0.0))
+                except queue.Empty:
+                    break
+                if nxt is None:
+                    stop = True
+                    break
+                if n_imgs + nxt.num_imgs > self.max_batch:
+                    # doesn't fit this cycle; run it in the next one
+                    self._queue.put(nxt)
+                    break
+                batch.append(nxt)
+                n_imgs += nxt.num_imgs
+            # group by n_iter — different step counts need different scans
+            by_iter = {}
+            for r in batch:
+                by_iter.setdefault(r.n_iter, []).append(r)
+            for n_iter, reqs in by_iter.items():
+                try:
+                    self._serve_group(reqs, n_iter)
+                except BaseException as e:  # propagate to ALL waiters
+                    for r in reqs:
+                        r.error = e
+                        r.done.set()
+            if stop:
+                return
+
+    def _bucket(self, n: int) -> int:
+        for b in self.buckets:
+            if b >= n:
+                return b
+        return self.buckets[-1]
+
+    def _serve_group(self, reqs: List[_Request], n_iter: int):
+        tr = self.transformer
+        model = tr.diffuser.model
+        c, s = model.n_channels, model.image_size
+
+        prompts = []
+        for r in reqs:
+            prompts.extend([r.prompt] * r.num_imgs)
+        labels = np.asarray(tr.clip_model.encode_text(prompts),
+                            dtype=np.float32)
+
+        # per-request seeded noise — identical to the solo path's
+        # initialize_image(seed) for the same (seed, num_imgs)
+        noises = [np.asarray(jax.random.normal(
+            jax.random.PRNGKey(r.seed), (r.num_imgs, c, s, s),
+            dtype=jnp.float32)) for r in reqs]
+        guidance = np.concatenate([
+            np.full((r.num_imgs,), r.class_guidance, np.float32)
+            for r in reqs])
+
+        n = labels.shape[0]
+        b = self._bucket(n)
+        if b > n:  # pad with replicas of row 0 (discarded after)
+            pad = b - n
+            labels = np.concatenate([labels, np.repeat(labels[:1], pad, 0)])
+            noises.append(np.repeat(noises[0][:1], pad, 0))
+            guidance = np.concatenate([guidance, np.zeros((pad,), np.float32)])
+        seeds = np.concatenate(noises, axis=0)
+
+        out, _ = tr.diffuser.generate(
+            labels=jnp.asarray(labels),
+            seeds=jnp.asarray(seeds),
+            num_imgs=b,
+            img_size=s,
+            class_guidance=jnp.asarray(guidance),
+            n_iter=n_iter,
+            exponent=1,
+            scale_factor=8,
+            sharp_f=0,
+            bright_f=0,
+        )
+        out = np.asarray(out)
+
+        off = 0
+        for r in reqs:
+            imgs = out[off:off + r.num_imgs]
+            off += r.num_imgs
+            nrow = int(math.sqrt(r.num_imgs))
+            grid = make_grid((imgs + 1.0) / 2.0, nrow=nrow, padding=4)
+            r.result = to_pil(np.clip(grid, 0.0, 1.0))
+            r.done.set()
