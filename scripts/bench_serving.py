@@ -1,0 +1,106 @@
+"""Serving throughput: sequential batch-1 requests vs the micro-batcher.
+
+Simulates N concurrent single-image HTTP requests against the flagship
+101M model (random weights; compute cost is identical to trained ones)
+and reports imgs/sec and per-request latency for
+  (a) the reference serving model: one request at a time, and
+  (b) serve.batcher.MicroBatcher coalescing them into one scan call.
+
+Usage: python scripts/bench_serving.py [--requests 16] [--n-iter 50]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import threading
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax  # noqa: E402
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--requests", type=int, default=16)
+    ap.add_argument("--n-iter", type=int, default=50)
+    args = ap.parse_args()
+
+    from transformer_latent_diffusion_tpu.configs import (
+        DenoiserConfig,
+        LTDConfig,
+    )
+    from transformer_latent_diffusion_tpu.sampling import DiffusionTransformer
+    from transformer_latent_diffusion_tpu.serve.batcher import MicroBatcher
+
+    on_tpu = jax.default_backend() not in ("cpu",)
+    cfg = LTDConfig(
+        denoiser_cfg=DenoiserConfig(
+            image_size=32, noise_embed_dims=256, patch_size=2, embed_dim=768,
+            dropout=0, n_layers=12),
+        use_pallas=on_tpu,
+    )
+    cfg.denoiser_load.dtype = "bfloat16" if on_tpu else "float32"
+    print("building pipeline...", flush=True)
+    tr = DiffusionTransformer(cfg)
+
+    n = args.requests
+    prompts = [f"a cute cat number {i}" for i in range(n)]
+
+    def solo(i):
+        return tr.generate_image_from_text(
+            prompts[i], class_guidance=6, seed=i, num_imgs=1,
+            n_iter=args.n_iter)
+
+    print("warmup solo (compiles batch-1 scan)...", flush=True)
+    t0 = time.time()
+    solo(0)
+    print(f"  {time.time() - t0:.1f}s", flush=True)
+    t0 = time.time()
+    for i in range(n):
+        solo(i)
+    dt_solo = time.time() - t0
+    print(f"sequential: {n} reqs in {dt_solo:.2f}s "
+          f"({n / dt_solo:.2f} imgs/s, {dt_solo / n * 1e3:.0f} ms/req)",
+          flush=True)
+
+    mb = MicroBatcher(tr, max_batch=n, max_wait_ms=200.0)
+
+    def fire():
+        lat = [None] * n
+        errs = []
+
+        def run(i):
+            t = time.time()
+            try:
+                mb.generate(prompts[i], class_guidance=6, seed=i,
+                            num_imgs=1, n_iter=args.n_iter, timeout=1800)
+                lat[i] = time.time() - t
+            except BaseException as e:
+                errs.append(e)
+
+        ts = [threading.Thread(target=run, args=(i,)) for i in range(n)]
+        t0 = time.time()
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join()
+        assert not errs, errs
+        return time.time() - t0, lat
+
+    print("warmup batched (compiles bucket scan)...", flush=True)
+    t0 = time.time()
+    fire()
+    print(f"  {time.time() - t0:.1f}s", flush=True)
+    dt_b, lat = fire()
+    print(f"microbatched: {n} reqs in {dt_b:.2f}s "
+          f"({n / dt_b:.2f} imgs/s, p50 {sorted(lat)[n // 2] * 1e3:.0f} ms, "
+          f"p100 {max(lat) * 1e3:.0f} ms)", flush=True)
+    print(f"speedup: {dt_solo / dt_b:.2f}x", flush=True)
+    mb.close()
+
+
+if __name__ == "__main__":
+    main()

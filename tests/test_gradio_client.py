@@ -1,0 +1,54 @@
+"""UI-client test: the gradio frontend's HTTP helper against a REAL
+socket-served instance of the WSGI app (reference gradio_app.py talks to
+the FastAPI service the same way, over API_URL/API_TOKEN env vars)."""
+
+import os
+import threading
+from wsgiref.simple_server import WSGIRequestHandler, make_server
+
+import PIL.Image
+import pytest
+
+from transformer_latent_diffusion_tpu.serve import create_wsgi_app
+from transformer_latent_diffusion_tpu.serve.gradio_app import (
+    generate_image_from_text,
+)
+
+
+class _QuietHandler(WSGIRequestHandler):
+    def log_message(self, *a):  # keep pytest output clean
+        pass
+
+
+@pytest.fixture(scope="module")
+def live_server():
+    pytest.importorskip("requests")
+    os.environ.setdefault("API_TOKEN", "test-token")
+    from tests.test_diffusion import tiny_ltd_config
+
+    app = create_wsgi_app(tiny_ltd_config())
+    server = make_server("127.0.0.1", 0, app, handler_class=_QuietHandler)
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    base = f"http://127.0.0.1:{server.server_port}"
+    yield base
+    server.shutdown()
+    thread.join()
+
+
+def test_gradio_client_roundtrip(live_server, monkeypatch):
+    monkeypatch.setenv("API_URL", f"{live_server}/generate-image/")
+    img = generate_image_from_text("a cute cat", class_guidance=4)
+    assert isinstance(img, PIL.Image.Image)
+    assert img.size[0] > 0
+
+
+def test_gradio_client_error_branch(live_server, monkeypatch, capsys):
+    # note: a wrong-token case can't be driven here because client and
+    # server share this process's API_TOKEN env; the 401 server side is
+    # covered by tests/test_api.py. Drive the client's non-200 branch
+    # with a wrong endpoint instead.
+    monkeypatch.setenv("API_URL", f"{live_server}/nonexistent/")
+    img = generate_image_from_text("a cute cat")
+    assert img is None
+    assert "404" in capsys.readouterr().out
