@@ -66,3 +66,27 @@ def test_hash_tokenizer_stable():
     t = HashTokenizer()
     assert t.encode("a cute cat") == t.encode("A  Cute Cat")  # normalization
     assert t.encode("cat") != t.encode("dog")
+
+
+def test_uint8_grid_matches_float_grid():
+    """uint8_grid_to_pil(on-device-quantized imgs) must be pixel-identical
+    to the float route to_pil(clip(make_grid((x+1)/2)))."""
+    import jax.numpy as jnp
+
+    from transformer_latent_diffusion_tpu.utils import (
+        make_grid,
+        to_pil,
+        uint8_grid_to_pil,
+    )
+
+    rng = np.random.default_rng(0)
+    out = rng.standard_normal((5, 3, 8, 8)).astype(np.float32) * 1.5
+
+    grid = make_grid((out + 1.0) / 2.0, nrow=2, padding=4)
+    ref = np.asarray(to_pil(np.clip(grid, 0.0, 1.0)))
+
+    u = jnp.clip((jnp.asarray(out) + 1.0) * 0.5, 0.0, 1.0) * 255.0 + 0.5
+    u8 = np.asarray(jnp.transpose(u, (0, 2, 3, 1)).astype(jnp.uint8))
+    got = np.asarray(uint8_grid_to_pil(u8, nrow=2, padding=4))
+
+    np.testing.assert_array_equal(got, ref)

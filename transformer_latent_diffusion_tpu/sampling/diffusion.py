@@ -232,6 +232,7 @@ class DiffusionGenerator:
         noise_levels=None,
         use_ddpm_plus: bool = True,
         cache_interval: int = 1,
+        output: str = "float",
     ):
         """Generate images via reverse diffusion.
 
@@ -243,6 +244,13 @@ class DiffusionGenerator:
         fused engine: the middle layer groups are recomputed only every
         `cache_interval`-th step and their cached residual contribution is
         reused in between. Opt-in lossy acceleration; 1 = exact (default).
+
+        output="uint8" quantizes the decoded images ON DEVICE to
+        (N, H, W, 3) uint8 — the same clip + (x*255+0.5) math
+        utils.to_pil applies on host — so serving paths transfer 4x
+        fewer bytes off-chip (device->host is the serving bottleneck on
+        tunneled runtimes). "float" (default) keeps the reference's
+        (N, 3, H, W) float convention.
         """
         if noise_levels is None:
             noise_levels = make_noise_levels(n_iter, exponent)
@@ -289,4 +297,14 @@ class DiffusionGenerator:
         if self.vae is None:
             return None, x0
         img = self.vae.decode(x0 * scale_factor)
+        if output == "uint8":
+            if "post_u8" not in self._compiled:
+                @jax.jit
+                def post(img):
+                    u = jnp.clip((img.astype(jnp.float32) + 1.0) * 0.5,
+                                 0.0, 1.0) * 255.0 + 0.5
+                    return jnp.transpose(u, (0, 2, 3, 1)).astype(jnp.uint8)
+
+                self._compiled["post_u8"] = post
+            img = self._compiled["post_u8"](img)
         return img, x0

@@ -29,8 +29,7 @@ from transformer_latent_diffusion_tpu.models.vae import FlaxVae
 from transformer_latent_diffusion_tpu.sampling.diffusion import DiffusionGenerator
 from transformer_latent_diffusion_tpu.utils import (
     init_denoiser_params,
-    make_grid,
-    to_pil,
+    uint8_grid_to_pil,
 )
 
 
@@ -166,6 +165,8 @@ class DiffusionTransformer:
         nrow = int(math.sqrt(num_imgs))
 
         labels = encode_text([prompt] * num_imgs, self.clip_model)
+        # output="uint8" quantizes on device (same math as the float
+        # path + to_pil) so only H*W*3 bytes per image leave the chip
         out, _ = self.diffuser.generate(
             labels=labels,
             num_imgs=num_imgs,
@@ -178,6 +179,6 @@ class DiffusionTransformer:
             sharp_f=0,
             bright_f=0,
             cache_interval=cache_interval,
+            output="uint8",
         )
-        grid = make_grid((np.asarray(out) + 1.0) / 2.0, nrow=nrow, padding=4)
-        return to_pil(np.clip(grid, 0.0, 1.0))
+        return uint8_grid_to_pil(np.asarray(out), nrow=nrow, padding=4)

@@ -36,7 +36,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from transformer_latent_diffusion_tpu.utils import make_grid, to_pil
+from transformer_latent_diffusion_tpu.utils import uint8_grid_to_pil
 
 DEFAULT_BUCKETS = (1, 2, 4, 8, 16, 32)
 
@@ -175,10 +175,26 @@ class MicroBatcher:
                             dtype=np.float32)
 
         # per-request seeded noise — identical to the solo path's
-        # initialize_image(seed) for the same (seed, num_imgs)
-        noises = [np.asarray(jax.random.normal(
-            jax.random.PRNGKey(r.seed), (r.num_imgs, c, s, s),
-            dtype=jnp.float32)) for r in reqs]
+        # initialize_image(seed) for the same (seed, num_imgs): jax's
+        # threefry PRNG is bit-exact across backends, so draw on the CPU
+        # backend to avoid per-request accelerator round-trips (bulk
+        # device->host transfers are the serving bottleneck on tunneled
+        # runtimes)
+        try:
+            cpu = jax.devices("cpu")[0]
+        except RuntimeError:
+            cpu = None
+
+        def _noise(seed, shape):
+            key = jax.random.PRNGKey(seed)
+            if cpu is not None:
+                with jax.default_device(cpu):
+                    return np.asarray(
+                        jax.random.normal(key, shape, dtype=jnp.float32))
+            return np.asarray(jax.random.normal(key, shape,
+                                                dtype=jnp.float32))
+
+        noises = [_noise(r.seed, (r.num_imgs, c, s, s)) for r in reqs]
         guidance = np.concatenate([
             np.full((r.num_imgs,), r.class_guidance, np.float32)
             for r in reqs])
@@ -203,6 +219,7 @@ class MicroBatcher:
             scale_factor=8,
             sharp_f=0,
             bright_f=0,
+            output="uint8",
         )
         out = np.asarray(out)
 
@@ -211,6 +228,5 @@ class MicroBatcher:
             imgs = out[off:off + r.num_imgs]
             off += r.num_imgs
             nrow = int(math.sqrt(r.num_imgs))
-            grid = make_grid((imgs + 1.0) / 2.0, nrow=nrow, padding=4)
-            r.result = to_pil(np.clip(grid, 0.0, 1.0))
+            r.result = uint8_grid_to_pil(imgs, nrow=nrow, padding=4)
             r.done.set()

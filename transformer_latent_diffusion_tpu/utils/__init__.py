@@ -4,4 +4,5 @@ from transformer_latent_diffusion_tpu.utils.common import (  # noqa: F401
     init_denoiser_params,
     make_grid,
     to_pil,
+    uint8_grid_to_pil,
 )

@@ -56,6 +56,35 @@ def make_grid(images: np.ndarray, nrow: int = 8, padding: int = 2,
     return grid
 
 
+def uint8_grid_to_pil(images_bhwc: np.ndarray, nrow: int = 8,
+                      padding: int = 2):
+    """Tile already-uint8 (B, H, W, 3) images into one PIL grid.
+
+    Pixel-identical to `to_pil(clip(make_grid(float_images, ...)))` when
+    the uint8 quantization used the same clip + (x*255+0.5) math (see
+    DiffusionGenerator.generate(output="uint8")) — each interior pixel
+    depends only on its own float value and the pad value maps to 0.
+    """
+    from PIL import Image
+
+    images = np.asarray(images_bhwc)
+    b, h, w, c = images.shape
+    ncol = nrow
+    nrows = int(np.ceil(b / ncol))
+    grid = np.zeros(
+        (padding + nrows * (h + padding), padding + ncol * (w + padding), c),
+        dtype=np.uint8,
+    )
+    for idx in range(b):
+        r, col = divmod(idx, ncol)
+        y = padding + r * (h + padding)
+        x = padding + col * (w + padding)
+        grid[y : y + h, x : x + w] = images[idx]
+    if c == 1:
+        return Image.fromarray(grid[..., 0], mode="L")
+    return Image.fromarray(grid, mode="RGB")
+
+
 def to_pil(img_chw: np.ndarray):
     """(C, H, W) float in [0, 1] -> PIL.Image (like ToPILImage)."""
     from PIL import Image
