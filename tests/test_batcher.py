@@ -127,3 +127,56 @@ def test_service_microbatch_route():
         assert out[0] != out[1]  # different seeds -> different images
     finally:
         svc.batcher.close()
+
+
+def test_microbatcher_carry_and_close():
+    """A request that doesn't fit the current cycle is carried to the
+    next one (not starved or stranded); close() serves pending work and
+    rejects late arrivals instead of hanging them."""
+    tr = _tiny_transformer()
+    mb = MicroBatcher(tr, max_batch=2, max_wait_ms=150.0)
+    try:
+        results, errors = {}, []
+
+        def run(name, **kw):
+            try:
+                results[name] = mb.generate(**kw, timeout=300)
+            except BaseException as e:
+                errors.append((name, e))
+
+        # 1 + 2 + 1 images against max_batch=2: some cycle must carry
+        threads = [
+            threading.Thread(target=run, args=(n,), kwargs=k) for n, k in [
+                ("a", dict(prompt="x", num_imgs=1, n_iter=4, seed=1)),
+                ("b", dict(prompt="y", num_imgs=2, n_iter=4, seed=2)),
+                ("c", dict(prompt="z", num_imgs=1, n_iter=4, seed=3)),
+            ]
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert not errors, errors
+        assert set(results) == {"a", "b", "c"}
+        for img in results.values():
+            assert isinstance(img, PIL.Image.Image)
+    finally:
+        mb.close()
+
+    try:
+        mb.generate("late", n_iter=4)
+        raise AssertionError("expected RuntimeError after close()")
+    except RuntimeError:
+        pass
+
+
+def test_service_oversize_falls_back_to_solo():
+    """num_imgs > the batcher's max_batch must take the solo path (not a
+    500) when micro-batching is enabled."""
+    svc = GenerationService(transformer=_tiny_transformer(), microbatch=2,
+                            max_wait_ms=50.0)
+    try:
+        jpeg = svc.generate_jpeg(prompt="a cute cat", num_imgs=4, n_iter=4)
+        assert jpeg[:3] == b"\xff\xd8\xff"
+    finally:
+        svc.batcher.close()

@@ -56,7 +56,8 @@ class GenerationService:
                       seed: int = 11, num_imgs: int = 1,
                       img_size: int = 32, n_iter: int = 15,
                       cache_interval: int = 1) -> bytes:
-        if self.batcher is not None and cache_interval == 1:
+        if (self.batcher is not None and cache_interval == 1
+                and num_imgs <= self.batcher.max_batch):
             img = self.batcher.generate(
                 prompt=prompt, class_guidance=class_guidance, seed=seed,
                 num_imgs=num_imgs, img_size=img_size, n_iter=n_iter,
@@ -172,8 +173,12 @@ def create_fastapi_app(cfg: Optional[LTDConfig] = None, service=None):
         return WELCOME
 
     @app.post("/generate-image/")
-    async def generate_image(request: ImageRequest,
-                             token: str = Depends(validate_token)):
+    def generate_image(request: ImageRequest,
+                       token: str = Depends(validate_token)):
+        # sync route: FastAPI runs it on the threadpool, so concurrent
+        # requests overlap and can coalesce in the micro-batcher (an
+        # async route would serialize the blocking generate on the event
+        # loop and defeat batching entirely)
         try:
             jpeg = svc.generate_jpeg(
                 prompt=request.prompt, class_guidance=request.class_guidance,
@@ -207,10 +212,18 @@ def serve(cfg: Optional[LTDConfig] = None, host: str = "0.0.0.0",
 
         uvicorn.run(create_fastapi_app(cfg), host=host, port=port)
     except ImportError:
-        from wsgiref.simple_server import make_server
+        from socketserver import ThreadingMixIn
+        from wsgiref.simple_server import WSGIServer, make_server
 
-        print(f"serving (wsgiref) on {host}:{port}")
-        make_server(host, port, create_wsgi_app(cfg)).serve_forever()
+        class _ThreadingWSGIServer(ThreadingMixIn, WSGIServer):
+            """Thread-per-request so concurrent requests can reach (and
+            coalesce in) the micro-batcher."""
+
+            daemon_threads = True
+
+        print(f"serving (wsgiref, threaded) on {host}:{port}")
+        make_server(host, port, create_wsgi_app(cfg),
+                    server_class=_ThreadingWSGIServer).serve_forever()
 
 
 def __getattr__(name):

@@ -116,18 +116,35 @@ class MicroBatcher:
             self._closed = True
             self._queue.put(None)
             self._worker.join()
+            # fail any request that raced past the _closed check after the
+            # sentinel (would otherwise hang its waiter forever)
+            while True:
+                try:
+                    r = self._queue.get_nowait()
+                except queue.Empty:
+                    break
+                if r is not None:
+                    r.error = RuntimeError("MicroBatcher is closed")
+                    r.done.set()
 
     # ---------------------------------------------------------- worker --
 
     def _run(self):
+        # `carry` holds a request that didn't fit the previous cycle; it is
+        # served FIRST next cycle (no re-queue: re-queueing would both
+        # starve large requests under sustained small-request load and
+        # strand them behind the shutdown sentinel)
+        carry: Optional[_Request] = None
         while True:
-            first = self._queue.get()
-            if first is None:
-                return
+            if carry is not None:
+                first, carry = carry, None
+            else:
+                first = self._queue.get()
+                if first is None:
+                    return
             batch = [first]
             n_imgs = first.num_imgs
             deadline = time.monotonic() + self.max_wait_ms / 1e3
-            stop = False
             while n_imgs < self.max_batch:
                 wait = deadline - time.monotonic()
                 try:
@@ -135,11 +152,12 @@ class MicroBatcher:
                 except queue.Empty:
                     break
                 if nxt is None:
-                    stop = True
+                    # re-arm the sentinel so the outer loop exits after
+                    # serving this batch (and any carry)
+                    self._queue.put(None)
                     break
                 if n_imgs + nxt.num_imgs > self.max_batch:
-                    # doesn't fit this cycle; run it in the next one
-                    self._queue.put(nxt)
+                    carry = nxt
                     break
                 batch.append(nxt)
                 n_imgs += nxt.num_imgs
@@ -154,8 +172,6 @@ class MicroBatcher:
                     for r in reqs:
                         r.error = e
                         r.done.set()
-            if stop:
-                return
 
     def _bucket(self, n: int) -> int:
         for b in self.buckets:

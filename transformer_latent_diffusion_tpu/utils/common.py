@@ -68,21 +68,13 @@ def uint8_grid_to_pil(images_bhwc: np.ndarray, nrow: int = 8,
     from PIL import Image
 
     images = np.asarray(images_bhwc)
-    b, h, w, c = images.shape
-    ncol = nrow
-    nrows = int(np.ceil(b / ncol))
-    grid = np.zeros(
-        (padding + nrows * (h + padding), padding + ncol * (w + padding), c),
-        dtype=np.uint8,
-    )
-    for idx in range(b):
-        r, col = divmod(idx, ncol)
-        y = padding + r * (h + padding)
-        x = padding + col * (w + padding)
-        grid[y : y + h, x : x + w] = images[idx]
-    if c == 1:
-        return Image.fromarray(grid[..., 0], mode="L")
-    return Image.fromarray(grid, mode="RGB")
+    # make_grid is dtype-preserving and pads with 0 — reuse it so the
+    # float and uint8 grid layouts can never drift apart
+    grid = make_grid(images.transpose(0, 3, 1, 2), nrow=nrow,
+                     padding=padding, pad_value=0)
+    if grid.shape[0] == 1:
+        return Image.fromarray(grid[0], mode="L")
+    return Image.fromarray(np.transpose(grid, (1, 2, 0)), mode="RGB")
 
 
 def to_pil(img_chw: np.ndarray):
