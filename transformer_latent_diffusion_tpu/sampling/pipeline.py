@@ -78,8 +78,18 @@ class DiffusionTransformer:
         dtype = resolve_dtype(cfg.denoiser_load.dtype)
         use_pallas = bool(cfg.use_pallas)
 
+        on_tpu = jax.default_backend() not in ("cpu",)
+        # Hi-res hybrid (measured, scripts/probe_highres_hybrid.py): past
+        # the fused engine's 256-token gate the linen path runs Pallas
+        # flash attention (use_pallas) everywhere, plus the fused
+        # MLP-sepconv kernel up to 1024 tokens — 512px generation 1.41x,
+        # 1024px 1.88x over pure XLA. At 4096 tokens fused-MLP measured
+        # neutral, so it stays off there.
+        hw = cfg.denoiser_cfg.image_size // cfg.denoiser_cfg.patch_size
+        fused_mlp = bool(use_pallas and on_tpu and hw <= 32)
         denoiser = Denoiser(
-            **asdict(cfg.denoiser_cfg), use_pallas=use_pallas, dtype=dtype
+            **asdict(cfg.denoiser_cfg), use_pallas=use_pallas, dtype=dtype,
+            fused_mlp_vjp=fused_mlp,
         )
         params = init_denoiser_params(denoiser, cfg.denoiser_cfg)
 
