@@ -31,15 +31,20 @@ def initialize_distributed() -> None:
     Replaces Accelerate's process-group setup. Controlled by the standard
     JAX coordinator env vars; safe to call unconditionally.
     """
-    if jax.process_count() > 1:
-        return  # already initialized
     addr = os.environ.get("JAX_COORDINATOR_ADDRESS")
-    if addr:
-        jax.distributed.initialize(
-            coordinator_address=addr,
-            num_processes=int(os.environ["JAX_NUM_PROCESSES"]),
-            process_id=int(os.environ["JAX_PROCESS_ID"]),
-        )
+    if not addr:
+        return
+    # NB: must not touch jax.devices()/process_count() before
+    # jax.distributed.initialize — any backend-initializing call first
+    # makes initialize() raise (true on CPU tests and on TPU pods alike)
+    is_init = getattr(jax.distributed, "is_initialized", None)
+    if is_init is not None and is_init():
+        return
+    jax.distributed.initialize(
+        coordinator_address=addr,
+        num_processes=int(os.environ["JAX_NUM_PROCESSES"]),
+        process_id=int(os.environ["JAX_PROCESS_ID"]),
+    )
 
 
 def create_mesh(mesh_shape: Optional[Tuple[int, int]] = None,
