@@ -98,3 +98,46 @@ def test_npz_roundtrip(tmp_path):
         for k in kp:
             node = node[k.key]
         np.testing.assert_array_equal(np.asarray(leaf), node)
+
+
+def test_safetensors_reader_roundtrip(tmp_path):
+    """Pure-numpy .safetensors reader: hand-write the format (8-byte u64
+    header length + JSON header + raw buffer) incl. a BF16 tensor and
+    read it back exactly."""
+    import json
+
+    import ml_dtypes
+
+    from transformer_latent_diffusion_tpu.models.torch_compat import (
+        read_safetensors,
+    )
+
+    rng = np.random.default_rng(0)
+    a = rng.standard_normal((3, 4)).astype(np.float32)
+    b = rng.standard_normal((2, 2, 2)).astype(np.float16)
+    c = rng.standard_normal((5,)).astype(ml_dtypes.bfloat16)
+
+    bufs = [a.tobytes(), b.tobytes(), c.tobytes()]
+    offs, header, pos = [], {}, 0
+    for name, arr, dt, raw in [("a", a, "F32", bufs[0]),
+                               ("b", b, "F16", bufs[1]),
+                               ("c", c, "BF16", bufs[2])]:
+        header[name] = {"dtype": dt, "shape": list(arr.shape),
+                        "data_offsets": [pos, pos + len(raw)]}
+        pos += len(raw)
+    header["__metadata__"] = {"format": "pt"}
+    hj = json.dumps(header).encode()
+    path = tmp_path / "w.safetensors"
+    with open(path, "wb") as f:
+        f.write(len(hj).to_bytes(8, "little"))
+        f.write(hj)
+        for raw in bufs:
+            f.write(raw)
+
+    out = read_safetensors(str(path))
+    np.testing.assert_array_equal(out["a"], a)
+    np.testing.assert_array_equal(out["b"], b)
+    assert out["c"].dtype == ml_dtypes.bfloat16
+    np.testing.assert_array_equal(out["c"].astype(np.float32),
+                                  c.astype(np.float32))
+    assert "__metadata__" not in out

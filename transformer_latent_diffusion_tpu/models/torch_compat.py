@@ -19,6 +19,56 @@ from typing import Any, Dict
 import numpy as np
 
 
+def read_safetensors(path: str) -> Dict[str, np.ndarray]:
+    """Dependency-free .safetensors reader (no torch / safetensors lib).
+
+    Format: 8-byte little-endian u64 header size, a JSON header mapping
+    tensor name -> {dtype, shape, data_offsets=[begin, end]} (offsets
+    relative to the end of the header), then the raw byte buffer.
+    """
+    import json
+
+    dtypes = {
+        "F64": np.float64, "F32": np.float32, "F16": np.float16,
+        "I64": np.int64, "I32": np.int32, "I16": np.int16, "I8": np.int8,
+        "U8": np.uint8, "BOOL": np.bool_,
+    }
+    with open(path, "rb") as f:
+        n = int.from_bytes(f.read(8), "little")
+        header = json.loads(f.read(n))
+        buf = f.read()
+    out: Dict[str, np.ndarray] = {}
+    for name, meta in header.items():
+        if name == "__metadata__":
+            continue
+        b, e = meta["data_offsets"]
+        raw = buf[b:e]
+        if meta["dtype"] == "BF16":
+            # numpy has no bf16: widen via the ml_dtypes view jax ships
+            import ml_dtypes
+
+            arr = np.frombuffer(raw, dtype=ml_dtypes.bfloat16)
+        else:
+            arr = np.frombuffer(raw, dtype=dtypes[meta["dtype"]])
+        out[name] = arr.reshape(meta["shape"])
+    return out
+
+
+def load_state_dict_file(path: str) -> Dict[str, Any]:
+    """Load a checkpoint file into a flat name->array dict.
+
+    `.safetensors` parses with the pure-numpy reader above (works in
+    torch-free deployments); anything else goes through torch.load."""
+    if path.endswith(".safetensors"):
+        return read_safetensors(path)
+    import torch
+
+    sd = torch.load(path, map_location="cpu")
+    if hasattr(sd, "state_dict"):
+        sd = sd.state_dict()
+    return sd
+
+
 def _np(t) -> np.ndarray:
     return np.asarray(t.detach().cpu().numpy() if hasattr(t, "detach") else t,
                       dtype=np.float32)
@@ -184,11 +234,7 @@ def convert_torch_vae_state_dict(sd: Dict[str, Any], block_out_channels,
 
 
 def load_vae_params(path: str, vae_cfg):
-    import torch
-
-    sd = torch.load(path, map_location="cpu")
-    if hasattr(sd, "state_dict"):
-        sd = sd.state_dict()
+    sd = load_state_dict_file(path)
     return convert_torch_vae_state_dict(
         sd, vae_cfg.block_out_channels, vae_cfg.layers_per_block)
 
@@ -222,9 +268,5 @@ def convert_torch_clip_state_dict(sd: Dict[str, Any], layers: int) -> Dict[str, 
 
 
 def load_clip_params(path: str, clip_cfg):
-    import torch
-
-    sd = torch.load(path, map_location="cpu")
-    if hasattr(sd, "state_dict"):
-        sd = sd.state_dict()
+    sd = load_state_dict_file(path)
     return convert_torch_clip_state_dict(sd, clip_cfg.layers)

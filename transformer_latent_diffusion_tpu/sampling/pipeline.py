@@ -45,21 +45,20 @@ def download_file(url: str, filename: str) -> None:
 
 
 def load_denoiser_params(path: str, model: Denoiser, cfg):
-    """Load denoiser weights from .npz (flax) or torch .pth state_dict."""
+    """Load denoiser weights: .npz (flax), .safetensors (pure-numpy
+    reader, torch-free), or a torch .pth state_dict (converted)."""
     if path.endswith(".npz"):
         from transformer_latent_diffusion_tpu.train.checkpoint import (
             unflatten_npz,
         )
 
         return unflatten_npz(path)
-    # torch state_dict path
     from transformer_latent_diffusion_tpu.models.torch_compat import (
         convert_torch_denoiser_state_dict,
+        load_state_dict_file,
     )
 
-    import torch
-
-    state_dict = torch.load(path, map_location="cpu")
+    state_dict = load_state_dict_file(path)
     if "model_ema" in state_dict:
         state_dict = state_dict["model_ema"]
     return convert_torch_denoiser_state_dict(state_dict, cfg)
