@@ -180,3 +180,19 @@ def test_service_oversize_falls_back_to_solo():
         assert jpeg[:3] == b"\xff\xd8\xff"
     finally:
         svc.batcher.close()
+
+
+def test_microbatcher_rejects_bad_num_imgs():
+    """num_imgs < 1 must be rejected at the caller (not crash the whole
+    batch group it would have joined)."""
+    tr = _tiny_transformer()
+    mb = MicroBatcher(tr, max_batch=4, max_wait_ms=10.0)
+    try:
+        for bad in (0, -1, 5):
+            try:
+                mb.generate("x", num_imgs=bad, n_iter=4, timeout=30)
+                raise AssertionError(f"num_imgs={bad} accepted")
+            except ValueError:
+                pass
+    finally:
+        mb.close()

@@ -141,3 +141,51 @@ def test_safetensors_reader_roundtrip(tmp_path):
     np.testing.assert_array_equal(out["c"].astype(np.float32),
                                   c.astype(np.float32))
     assert "__metadata__" not in out
+
+
+def test_safetensors_flat_ema_prefix(tmp_path):
+    """A flattened EMA checkpoint ('model_ema.'-prefixed keys, the shape
+    a .pth {model_ema: ...} takes after safetensors flattening) must
+    load through load_denoiser_params."""
+    if not HAVE_REFERENCE:
+        import pytest
+
+        pytest.skip("reference torch model unavailable")
+    import json
+
+    from transformer_latent_diffusion_tpu.configs import DenoiserConfig
+    from transformer_latent_diffusion_tpu.models.denoiser import Denoiser
+    from transformer_latent_diffusion_tpu.sampling.pipeline import (
+        load_denoiser_params,
+    )
+    from transformer_latent_diffusion_tpu.utils import init_denoiser_params
+
+    cfg = DenoiserConfig()
+    tm = TorchDenoiser(**{
+        "image_size": cfg.image_size, "noise_embed_dims": cfg.noise_embed_dims,
+        "patch_size": cfg.patch_size, "embed_dim": cfg.embed_dim,
+        "dropout": 0, "n_layers": cfg.n_layers})
+    sd = {f"model_ema.{k}": v.detach().numpy() for k, v in
+          tm.state_dict().items()}
+
+    bufs, header, pos = [], {}, 0
+    for name, arr in sd.items():
+        arr = np.ascontiguousarray(arr, dtype=np.float32)
+        raw = arr.tobytes()
+        header[name] = {"dtype": "F32", "shape": list(arr.shape),
+                        "data_offsets": [pos, pos + len(raw)]}
+        bufs.append(raw)
+        pos += len(raw)
+    hj = json.dumps(header).encode()
+    path = tmp_path / "ema.safetensors"
+    with open(path, "wb") as f:
+        f.write(len(hj).to_bytes(8, "little"))
+        f.write(hj)
+        for raw in bufs:
+            f.write(raw)
+
+    model = Denoiser(**cfg.__dict__)
+    params = load_denoiser_params(str(path), model, cfg)
+    # loaded tree must match the model's own param structure
+    ref = init_denoiser_params(model, cfg)
+    assert jax.tree.structure(params) == jax.tree.structure(ref)

@@ -208,12 +208,22 @@ class DiffusionGenerator:
         # 50 accumulating update steps in bf16 would drift past the 1e-2
         # parity budget; the model casts activations internally.
         if seeds is None:
-            key = jax.random.PRNGKey(seed)
-            return jax.random.normal(
-                key,
-                (num_imgs, self.model.n_channels, img_size, img_size),
-                dtype=jnp.float32,
-            )
+            shape = (num_imgs, self.model.n_channels, img_size, img_size)
+            # draw on the CPU backend when available: threefry BITS are
+            # backend-invariant but the bits->normal float transform is
+            # not guaranteed bit-identical across backends, and the
+            # serving micro-batcher draws per-request noise on CPU — one
+            # backend for both keeps batched == solo exactly
+            try:
+                cpu = jax.devices("cpu")[0]
+            except RuntimeError:
+                cpu = None
+            if cpu is not None:
+                with jax.default_device(cpu):
+                    return jax.random.normal(jax.random.PRNGKey(seed),
+                                             shape, dtype=jnp.float32)
+            return jax.random.normal(jax.random.PRNGKey(seed), shape,
+                                     dtype=jnp.float32)
         return jnp.asarray(seeds, dtype=jnp.float32)
 
     def generate(

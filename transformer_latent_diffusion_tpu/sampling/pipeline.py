@@ -61,6 +61,11 @@ def load_denoiser_params(path: str, model: Denoiser, cfg):
     state_dict = load_state_dict_file(path)
     if "model_ema" in state_dict:
         state_dict = state_dict["model_ema"]
+    elif any(k.startswith("model_ema.") for k in state_dict):
+        # safetensors files are flat: an EMA checkpoint arrives with
+        # 'model_ema.'-prefixed keys instead of a nested dict
+        state_dict = {k[len("model_ema."):]: v for k, v in state_dict.items()
+                      if k.startswith("model_ema.")}
     return convert_torch_denoiser_state_dict(state_dict, cfg)
 
 
@@ -85,7 +90,10 @@ class DiffusionTransformer:
         # 1024px 1.88x over pure XLA. At 4096 tokens fused-MLP measured
         # neutral, so it stays off there.
         hw = cfg.denoiser_cfg.image_size // cfg.denoiser_cfg.patch_size
-        fused_mlp = bool(use_pallas and on_tpu and hw <= 32)
+        # only in the hybrid regime: at hw <= 16 inference runs the fused
+        # engine, so compiling the fused-MLP kernel for the linen path
+        # would waste a (slow, tunneled) startup compile for nothing
+        fused_mlp = bool(use_pallas and on_tpu and 16 < hw <= 32)
         denoiser = Denoiser(
             **asdict(cfg.denoiser_cfg), use_pallas=use_pallas, dtype=dtype,
             fused_mlp_vjp=fused_mlp,

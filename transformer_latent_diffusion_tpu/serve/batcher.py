@@ -49,6 +49,7 @@ class _Request:
     num_imgs: int
     n_iter: int
     done: threading.Event = field(default_factory=threading.Event)
+    cancelled: threading.Event = field(default_factory=threading.Event)
     result: Any = None
     error: Optional[BaseException] = None
 
@@ -85,6 +86,9 @@ class MicroBatcher:
         self._worker = threading.Thread(target=self._run, daemon=True,
                                         name="microbatcher")
         self._closed = False
+        # guards the closed-check + enqueue pair against close()'s drain,
+        # so a racing generate() cannot strand a request in a dead queue
+        self._lock = threading.Lock()
         self._worker.start()
 
     # ------------------------------------------------------------- API --
@@ -95,16 +99,21 @@ class MicroBatcher:
         """Blocking generate; returns the same PIL grid as
         `DiffusionTransformer.generate_image_from_text` (img_size is
         accepted-but-unused exactly like the reference API)."""
-        if self._closed:
-            raise RuntimeError("MicroBatcher is closed")
-        if num_imgs > self.max_batch:
+        num_imgs = int(num_imgs)
+        if not 1 <= num_imgs <= self.max_batch:
             raise ValueError(
-                f"num_imgs={num_imgs} exceeds max_batch={self.max_batch}")
+                f"num_imgs={num_imgs} must be in [1, {self.max_batch}]")
         req = _Request(prompt=prompt, class_guidance=float(class_guidance),
-                       seed=int(seed), num_imgs=int(num_imgs),
+                       seed=int(seed), num_imgs=num_imgs,
                        n_iter=int(n_iter))
-        self._queue.put(req)
+        with self._lock:
+            if self._closed:
+                raise RuntimeError("MicroBatcher is closed")
+            self._queue.put(req)
         if not req.done.wait(timeout):
+            # mark abandoned so the worker does not spend device batch
+            # slots generating images nobody will receive
+            req.cancelled.set()
             raise TimeoutError("generation timed out")
         if req.error is not None:
             raise req.error
@@ -113,8 +122,9 @@ class MicroBatcher:
     def close(self):
         """Stop the worker (pending requests are still served first)."""
         if not self._closed:
-            self._closed = True
-            self._queue.put(None)
+            with self._lock:
+                self._closed = True
+                self._queue.put(None)
             self._worker.join()
             # fail any request that raced past the _closed check after the
             # sentinel (would otherwise hang its waiter forever)
@@ -142,6 +152,8 @@ class MicroBatcher:
                 first = self._queue.get()
                 if first is None:
                     return
+            if first.cancelled.is_set():
+                continue
             batch = [first]
             n_imgs = first.num_imgs
             deadline = time.monotonic() + self.max_wait_ms / 1e3
@@ -156,6 +168,8 @@ class MicroBatcher:
                     # serving this batch (and any carry)
                     self._queue.put(None)
                     break
+                if nxt.cancelled.is_set():
+                    continue
                 if n_imgs + nxt.num_imgs > self.max_batch:
                     carry = nxt
                     break
@@ -164,14 +178,18 @@ class MicroBatcher:
             # group by n_iter — different step counts need different scans
             by_iter = {}
             for r in batch:
-                by_iter.setdefault(r.n_iter, []).append(r)
+                if not r.cancelled.is_set():
+                    by_iter.setdefault(r.n_iter, []).append(r)
             for n_iter, reqs in by_iter.items():
                 try:
                     self._serve_group(reqs, n_iter)
-                except BaseException as e:  # propagate to ALL waiters
+                except BaseException as e:
+                    # fail only the still-waiting requests — some may
+                    # already hold a valid result from this group
                     for r in reqs:
-                        r.error = e
-                        r.done.set()
+                        if not r.done.is_set():
+                            r.error = e
+                            r.done.set()
 
     def _bucket(self, n: int) -> int:
         for b in self.buckets:
@@ -202,13 +220,15 @@ class MicroBatcher:
             cpu = None
 
         def _noise(seed, shape):
-            key = jax.random.PRNGKey(seed)
             if cpu is not None:
+                # everything (incl. PRNGKey) inside the cpu context — a
+                # key built outside would dispatch to the accelerator and
+                # need a device->host hop per request
                 with jax.default_device(cpu):
-                    return np.asarray(
-                        jax.random.normal(key, shape, dtype=jnp.float32))
-            return np.asarray(jax.random.normal(key, shape,
-                                                dtype=jnp.float32))
+                    return np.asarray(jax.random.normal(
+                        jax.random.PRNGKey(seed), shape, dtype=jnp.float32))
+            return np.asarray(jax.random.normal(
+                jax.random.PRNGKey(seed), shape, dtype=jnp.float32))
 
         noises = [_noise(r.seed, (r.num_imgs, c, s, s)) for r in reqs]
         guidance = np.concatenate([
