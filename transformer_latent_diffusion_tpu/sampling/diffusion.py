@@ -80,6 +80,12 @@ class DiffusionGenerator:
     # over the 'data' axis (multi-chip serving, beyond reference). Uses
     # the XLA model path (pallas calls are not auto-partitionable).
     mesh: Any = None
+    # draw initial noise on the CPU backend: threefry BITS are
+    # backend-invariant but the bits->normal float transform is not, so
+    # serving enables this to make micro-batched results bit-equal to
+    # solo ones. Off by default — the host->device upload costs ~20-40ms
+    # per batch on tunneled runtimes, which benchmarks shouldn't pay.
+    noise_on_host: bool = False
     _compiled: Dict[Any, Any] = field(default_factory=dict, repr=False)
 
     def _sample_fn(self, n_steps: int, shape: Tuple[int, ...],
@@ -209,15 +215,12 @@ class DiffusionGenerator:
         # parity budget; the model casts activations internally.
         if seeds is None:
             shape = (num_imgs, self.model.n_channels, img_size, img_size)
-            # draw on the CPU backend when available: threefry BITS are
-            # backend-invariant but the bits->normal float transform is
-            # not guaranteed bit-identical across backends, and the
-            # serving micro-batcher draws per-request noise on CPU — one
-            # backend for both keeps batched == solo exactly
-            try:
-                cpu = jax.devices("cpu")[0]
-            except RuntimeError:
-                cpu = None
+            cpu = None
+            if self.noise_on_host:
+                try:
+                    cpu = jax.devices("cpu")[0]
+                except RuntimeError:
+                    cpu = None
             if cpu is not None:
                 with jax.default_device(cpu):
                     return jax.random.normal(jax.random.PRNGKey(seed),

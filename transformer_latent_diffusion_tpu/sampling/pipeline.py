@@ -162,6 +162,9 @@ class DiffusionTransformer:
         self.diffuser = DiffusionGenerator(
             model=denoiser, params=params, vae=self.vae, model_dtype=dtype,
             fast_apply=fast_apply, mesh=mesh,
+            # serving surface: CPU-drawn noise keeps micro-batched
+            # results bit-equal to solo requests (see initialize_image)
+            noise_on_host=True,
         )
 
     def generate_image_from_text(
