@@ -97,7 +97,14 @@ def main():
 
     log("compiling + warmup...")
     t0 = time.time()
-    run(0)
+    try:
+        run(0)
+    except Exception as e:
+        # the remote-compile tunnel occasionally 500s/hangs on a first
+        # attempt; one retry (compiles that DID land are cached)
+        log(f"warmup failed ({type(e).__name__}: {e}); retrying once")
+        time.sleep(10)
+        run(0)
     log(f"warmup took {time.time() - t0:.1f}s")
 
     n_rep = 3

@@ -73,7 +73,9 @@ def test_iter_webdataset_shards(tmp_path):
     assert len(batches) == 3  # 2 + 2 + 1
     imgs, (caps, urls) = batches[0]
     assert imgs.shape == (2, 3, 16, 16)
-    assert imgs.min() >= 0 and imgs.max() <= 1
+    # batches stay uint8; encode_image converts on device (4x less
+    # host->device traffic than f32)
+    assert imgs.dtype == np.uint8
     assert caps == ["caption 0", "caption 1"]
     assert urls[0] == "http://x/0"
 

@@ -48,11 +48,17 @@ def encode_text(label: Union[str, List[str]], model) -> np.ndarray:
 
 
 def encode_image(img, vae) -> np.ndarray:
-    """Images (B, 3, H, W) in [0, 1] -> sampled latents (unscaled).
+    """Images (B, 3, H, W), float in [0, 1] or uint8 in [0, 255] ->
+    sampled latents (unscaled).
 
     Applies the reference's `x * 2 - 1` remap then VAE-encode + sample
-    (parity: data.py:35-41)."""
-    x = jnp.asarray(img) * 2.0 - 1.0
+    (parity: data.py:35-41). uint8 input converts ON DEVICE — a 256px
+    batch uploads 4x fewer bytes, which matters when host->device
+    bandwidth bounds the encode stage."""
+    x = jnp.asarray(img)
+    if x.dtype == jnp.uint8:
+        x = x.astype(jnp.float32) / 255.0
+    x = x * 2.0 - 1.0
     return np.asarray(vae.encode(x))
 
 
@@ -92,11 +98,13 @@ def iter_webdataset_shards(
     caption_key: str = "caption",
     url_key: str = "url",
 ) -> Iterator[Tuple[np.ndarray, Tuple[List[str], List[str]]]]:
-    """Stream (img_batch [B,3,S,S] f32 in [0,1], (captions, urls)) from
+    """Stream (img_batch [B,3,S,S] uint8, (captions, urls)) from
     img2dataset-style .tar shards (jpg/png + json per sample).
 
     Native replacement for the reference's WebDataset loader
     (data.py:146-164) — stdlib tarfile, no webdataset dependency.
+    Batches stay uint8 (encode_image converts on device): 4x less host
+    RAM and host->device traffic than materializing f32.
     """
     from PIL import Image
 
@@ -123,7 +131,7 @@ def iter_webdataset_shards(
                 img = img.convert("RGB")
                 if img.size != (image_size, image_size):
                     img = img.resize((image_size, image_size))
-                arr = np.asarray(img, dtype=np.float32) / 255.0
+                arr = np.asarray(img, dtype=np.uint8)
                 imgs.append(arr.transpose(2, 0, 1))
                 caps.append(str(meta.get(caption_key, "")))
                 urls.append(str(meta.get(url_key, meta.get("url", ""))))
