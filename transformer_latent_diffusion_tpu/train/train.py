@@ -230,10 +230,17 @@ def main(config: ModelConfig, init_params: Optional[Any] = None) -> Dict[str, An
     fused_attn = (train_config.fused_attn_vjp
                   if train_config.fused_attn_vjp is not None
                   else (on_tpu and not fused_layer))
+    # use_pallas: differentiable flash-attention forward (XLA-recompute
+    # backward). Irrelevant when the fused-layer kernel is active (256
+    # tokens), but past its gate — hi-res fine-tunes — it measures 1.18x
+    # over XLA attention (scripts/probe_highres_train.py: 66.5 -> 78.4
+    # samples/s at 512px, batch 64).
     model = Denoiser(**asdict(denoiser_config), dtype=compute_dtype,
+                     use_pallas=on_tpu,
                      fused_mlp_vjp=fused_mlp, fused_attn_vjp=fused_attn,
                      fused_layer_vjp=fused_layer)
-    eval_model = Denoiser(**asdict(denoiser_config), dtype=compute_dtype)
+    eval_model = Denoiser(**asdict(denoiser_config), dtype=compute_dtype,
+                          use_pallas=on_tpu)
 
     if init_params is not None:
         params = jax.tree.map(jnp.asarray, init_params)
