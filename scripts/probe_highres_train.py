@@ -27,8 +27,13 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=64)
     ap.add_argument("--steps", type=int, default=10)
+    ap.add_argument("--image-size", type=int, default=64,
+                    help="latent size: 64 = 512px, 128 = 1024px")
+    ap.add_argument("--remat", action="store_true",
+                    help="gradient-checkpoint each decoder block")
     args = ap.parse_args()
     b = args.batch
+    s_lat = args.image_size
 
     from transformer_latent_diffusion_tpu.configs import (
         DenoiserConfig,
@@ -41,13 +46,14 @@ def main():
     )
     from transformer_latent_diffusion_tpu.utils import init_denoiser_params
 
-    cfg = DenoiserConfig(image_size=64, noise_embed_dims=256, patch_size=2,
-                         embed_dim=768, dropout=0, n_layers=12)
+    cfg = DenoiserConfig(image_size=s_lat, noise_embed_dims=256,
+                         patch_size=2, embed_dim=768, dropout=0, n_layers=12)
     tc = TrainConfig(batch_size=b)
     on_tpu = jax.default_backend() not in ("cpu",)
 
     rng = np.random.default_rng(0)
-    x = jnp.asarray(rng.standard_normal((b, 4, 64, 64)).astype(np.float32))
+    x = jnp.asarray(
+        rng.standard_normal((b, 4, s_lat, s_lat)).astype(np.float32))
     y = jnp.asarray(rng.standard_normal((b, 768)).astype(np.float32))
     key = jax.random.PRNGKey(0)
 
@@ -56,7 +62,8 @@ def main():
                             ("flash attention", True)):
         model = Denoiser(**cfg.__dict__,
                          dtype=jnp.bfloat16 if on_tpu else jnp.float32,
-                         use_pallas=use_pallas, fused_mlp_vjp=on_tpu)
+                         use_pallas=use_pallas, fused_mlp_vjp=on_tpu,
+                         remat=args.remat)
         if params is None:
             params = init_denoiser_params(model, cfg)
         opt = make_optimizer(tc)

@@ -156,6 +156,10 @@ class TrainConfig:
     fused_mlp_vjp: Optional[bool] = None
     fused_attn_vjp: Optional[bool] = None
     fused_layer_vjp: Optional[bool] = None  # supersedes the two above when on
+    # gradient checkpointing of each decoder block; None = auto (on when
+    # the token count reaches 2048 — without it 1024px/4096-token
+    # training OOMs 16GB HBM at useful batch sizes)
+    remat: Optional[bool] = None
 
 
 @dataclass

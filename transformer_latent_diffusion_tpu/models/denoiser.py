@@ -71,6 +71,11 @@ class DenoiserTransBlock(nn.Module):
     fused_mlp_vjp: bool = False
     fused_attn_vjp: bool = False
     fused_layer_vjp: bool = False
+    # gradient checkpointing: rematerialize each decoder block in the
+    # backward pass instead of storing its activations. Necessary for
+    # 1024px (4096-token) training — without it the saved per-layer
+    # (B, 4096, 768) residuals OOM the 16GB HBM at batch 16.
+    remat: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -106,8 +111,12 @@ class DenoiserTransBlock(nn.Module):
             pos = jax.lax.slice_in_dim(pos_table, 0, h * w, axis=0)
         tokens = tokens + pos.astype(self.dtype)[None, :, :]
 
+        block_cls = DecoderBlock
+        if self.remat:
+            # deterministic (arg 3) is a static python bool
+            block_cls = nn.remat(DecoderBlock, static_argnums=(3,))
         for i in range(self.n_layers):
-            tokens = DecoderBlock(
+            tokens = block_cls(
                 embed_dim=self.embed_dim,
                 mlp_multiplier=self.mlp_multiplier,
                 dropout_level=self.dropout,
@@ -118,7 +127,7 @@ class DenoiserTransBlock(nn.Module):
                 fused_layer_vjp=self.fused_layer_vjp,
                 dtype=self.dtype,
                 name=f"decoder_block_{i}",
-            )(tokens, cond, deterministic=deterministic)
+            )(tokens, cond, deterministic)
 
         out = nn.Dense(patch_dim, dtype=self.dtype, name="out_proj")(tokens)
         return unpatchify(out.astype(jnp.float32), p, h, w, self.n_channels)
@@ -147,6 +156,7 @@ class Denoiser(nn.Module):
     fused_mlp_vjp: bool = False
     fused_attn_vjp: bool = False
     fused_layer_vjp: bool = False
+    remat: bool = False  # checkpoint each decoder block (hi-res training)
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -178,6 +188,7 @@ class Denoiser(nn.Module):
             fused_mlp_vjp=self.fused_mlp_vjp,
             fused_attn_vjp=self.fused_attn_vjp,
             fused_layer_vjp=self.fused_layer_vjp,
+            remat=self.remat,
             dtype=self.dtype,
             name="denoiser_trans_block",
         )(x, cond, deterministic=deterministic,

@@ -235,8 +235,11 @@ def main(config: ModelConfig, init_params: Optional[Any] = None) -> Dict[str, An
     # tokens), but past its gate — hi-res fine-tunes — it measures 1.18x
     # over XLA attention (scripts/probe_highres_train.py: 66.5 -> 78.4
     # samples/s at 512px, batch 64).
+    n_tokens = (denoiser_config.image_size // denoiser_config.patch_size) ** 2
+    remat = (train_config.remat if train_config.remat is not None
+             else n_tokens >= 2048)
     model = Denoiser(**asdict(denoiser_config), dtype=compute_dtype,
-                     use_pallas=on_tpu,
+                     use_pallas=on_tpu, remat=remat,
                      fused_mlp_vjp=fused_mlp, fused_attn_vjp=fused_attn,
                      fused_layer_vjp=fused_layer)
     eval_model = Denoiser(**asdict(denoiser_config), dtype=compute_dtype,
