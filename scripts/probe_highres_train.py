@@ -31,6 +31,10 @@ def main():
                     help="latent size: 64 = 512px, 128 = 1024px")
     ap.add_argument("--remat", action="store_true",
                     help="gradient-checkpoint each decoder block")
+    ap.add_argument("--only-flash", action="store_true",
+                    help="skip the XLA-attention variant (it OOMs at "
+                         "batch 16 / 4096 tokens; the flash path's "
+                         "chunked backward does not)")
     args = ap.parse_args()
     b = args.batch
     s_lat = args.image_size
@@ -58,8 +62,10 @@ def main():
     key = jax.random.PRNGKey(0)
 
     params = None
-    for tag, use_pallas in (("xla attention", False),
-                            ("flash attention", True)):
+    variants = (("xla attention", False), ("flash attention", True))
+    if args.only_flash:
+        variants = (("flash attention", True),)
+    for tag, use_pallas in variants:
         model = Denoiser(**cfg.__dict__,
                          dtype=jnp.bfloat16 if on_tpu else jnp.float32,
                          use_pallas=use_pallas, fused_mlp_vjp=on_tpu,

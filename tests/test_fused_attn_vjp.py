@@ -120,3 +120,47 @@ def test_model_with_both_fused_vjps_matches_standard():
         np.testing.assert_allclose(
             np.asarray(b), np.asarray(a), atol=2e-4, rtol=1e-2,
             err_msg=f"grad mismatch at {name}")
+
+
+def test_chunked_attention_backward_matches_xla():
+    """The flash-style chunked backward (used for >=2048-token training)
+    must match jax.grad of the one-shot XLA attention."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from transformer_latent_diffusion_tpu.ops import attention as A
+
+    rng = np.random.default_rng(0)
+    shape = (2, 3, 64, 16)  # (B, H, N, Dh); N divisible by the chunk
+    q, k, v = (jnp.asarray(rng.standard_normal(shape).astype(np.float32))
+               for _ in range(3))
+
+    def loss_ref(q, k, v):
+        return jnp.sum(A._xla_attention(q, k, v) ** 2)
+
+    ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    got = A._chunked_attention_bwd(
+        q, k, v,
+        2.0 * A._xla_attention(q, k, v),  # d(sum(out^2))/d out
+        q_chunk=16)
+    for a, b in zip(got, ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=2e-5)
+
+    # the custom-vjp route picks the chunked path above the threshold
+    old = A._BWD_ONE_SHOT_MAX_P_BYTES
+    A._BWD_ONE_SHOT_MAX_P_BYTES = 1
+    old_chunk = A._BWD_Q_CHUNK
+    A._BWD_Q_CHUNK = 16
+    try:
+        def loss_core(q, k, v):
+            return jnp.sum(A._attention_core(q, k, v) ** 2)
+
+        got2 = jax.grad(loss_core, argnums=(0, 1, 2))(q, k, v)
+        for a, b in zip(got2, ref):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-5, atol=2e-5)
+    finally:
+        A._BWD_ONE_SHOT_MAX_P_BYTES = old
+        A._BWD_Q_CHUNK = old_chunk

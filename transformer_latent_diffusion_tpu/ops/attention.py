@@ -129,9 +129,65 @@ def _attention_fwd(q, k, v):
     return _attention_core(q, k, v), (q, k, v)
 
 
+def _chunked_attention_bwd(q, k, v, g, q_chunk: int):
+    """Flash-style backward: recompute softmax per q-chunk so the full
+    (B, H, Nq, Nk) probability tensor is never materialized.
+
+    At 4096 tokens that tensor is ~13GB f32 at batch 16 — it is what
+    bounds hi-res training batch size. One scan pass over q-chunks
+    computes dq for the chunk and accumulates dk/dv. f32 softmax and
+    accumulation (same numerics as _xla_attention's grad)."""
+    b, h, nq, dh = q.shape
+    scale = 1.0 / jnp.sqrt(jnp.asarray(dh, dtype=jnp.float32))
+    n_chunks = nq // q_chunk
+
+    qc = q.reshape(b, h, n_chunks, q_chunk, dh).transpose(2, 0, 1, 3, 4)
+    gc = g.reshape(b, h, n_chunks, q_chunk, dh).transpose(2, 0, 1, 3, 4)
+
+    def step(carry, inp):
+        dk_acc, dv_acc = carry
+        q_i, g_i = inp                                    # (B, H, qc, Dh)
+        # NB: f32 operands here are deliberate. The bf16-operand variant
+        # (cast ds/p to bf16 before the grad matmuls, like the forward
+        # kernel) was measured 10x SLOWER inside this scan on-chip
+        # (31 s/step vs 3.4 at 1024px batch 16 — XLA lowers the mixed-
+        # dtype scan body pathologically). Do not "optimize" it back.
+        s = jnp.einsum("bhqd,bhkd->bhqk", q_i, k,
+                       preferred_element_type=jnp.float32) * scale
+        p = jax.nn.softmax(s, axis=-1)                    # f32 (B,H,qc,Nk)
+        g32 = g_i.astype(jnp.float32)
+        dp = jnp.einsum("bhqd,bhkd->bhqk", g32, v.astype(jnp.float32))
+        ds = p * (dp - jnp.sum(p * dp, axis=-1, keepdims=True))
+        ds = ds * scale
+        dq_i = jnp.einsum("bhqk,bhkd->bhqd", ds, k.astype(jnp.float32))
+        dk_acc = dk_acc + jnp.einsum("bhqk,bhqd->bhkd", ds,
+                                     q_i.astype(jnp.float32))
+        dv_acc = dv_acc + jnp.einsum("bhqk,bhqd->bhkd", p, g32)
+        return (dk_acc, dv_acc), dq_i
+
+    zeros = jnp.zeros(k.shape, jnp.float32)
+    (dk, dv), dq = jax.lax.scan(step, (zeros, zeros), (qc, gc))
+    dq = dq.transpose(1, 2, 0, 3, 4).reshape(b, h, nq, dh)
+    return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
+
+
+# chunk the backward only when the one-shot recompute's materialized
+# f32 probability tensor would not fit comfortably in HBM: the one-shot
+# is faster per-sample (measured: 1024px batch 8 one-shot 6.6 samples/s
+# vs chunked 4.8 at batch 16), so it stays preferred whenever it fits
+_BWD_ONE_SHOT_MAX_P_BYTES = 6 * 1024**3
+_BWD_Q_CHUNK = 512
+
+
 def _attention_bwd(res, g):
-    # Backward recomputes via the XLA path (fully fused by XLA on TPU).
     q, k, v = res
+    b, h, nq, _ = q.shape
+    nk = k.shape[-2]
+    p_bytes = b * h * nq * nk * 4
+    if (p_bytes > _BWD_ONE_SHOT_MAX_P_BYTES and nq % _BWD_Q_CHUNK == 0
+            and nq == nk):
+        return _chunked_attention_bwd(q, k, v, g, _BWD_Q_CHUNK)
+    # small cases: one-shot recompute via the XLA path (fully fused)
     _, vjp = jax.vjp(_xla_attention, q, k, v)
     return vjp(g)
 
