@@ -142,3 +142,28 @@ def test_full_generation_pipeline():
     assert isinstance(out, PIL.Image.Image)
     # 1 image, 16px latent * 2 (tiny-VAE upsample) + 2*4 padding
     assert out.size == (denoiser_cfg.image_size * 2 + 8,) * 2
+
+
+def test_generate_uint8_output_matches_float_path():
+    """generate(output="uint8") must produce exactly the uint8 pixels
+    the float path yields after the host-side to_pil quantization."""
+    from transformer_latent_diffusion_tpu.models.vae import FlaxVae
+    from transformer_latent_diffusion_tpu.sampling import DiffusionGenerator
+
+    cfg = denoiser_cfg
+    model = Denoiser(**cfg.__dict__)
+    params = init_denoiser_params(model, cfg)
+    vae = FlaxVae.create(block_out_channels=(8, 16), layers_per_block=1)
+    gen = DiffusionGenerator(model=model, params=params, vae=vae)
+    labels = jnp.ones((2, cfg.text_emb_size))
+    kw = dict(labels=labels, num_imgs=2, img_size=cfg.image_size,
+              n_iter=4, seed=5, sharp_f=0, bright_f=0)
+
+    f_img, f_lat = gen.generate(**kw)
+    u_img, u_lat = gen.generate(**kw, output="uint8")
+
+    np.testing.assert_array_equal(np.asarray(f_lat), np.asarray(u_lat))
+    ref = np.clip((np.asarray(f_img, dtype=np.float32) + 1.0) * 0.5, 0, 1)
+    ref = (ref * 255.0 + 0.5).astype(np.uint8)          # to_pil math, NCHW
+    got = np.asarray(u_img).transpose(0, 3, 1, 2)        # NHWC -> NCHW
+    np.testing.assert_array_equal(got, ref)
