@@ -164,3 +164,28 @@ def test_chunked_attention_backward_matches_xla():
     finally:
         A._BWD_ONE_SHOT_MAX_P_BYTES = old
         A._BWD_Q_CHUNK = old_chunk
+
+
+def test_pallas_attention_backward_matches_xla():
+    """The one-program-per-(batch,head) Pallas backward (interpret mode
+    on CPU) must match jax.grad of the XLA attention."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from transformer_latent_diffusion_tpu.ops import attention as A
+
+    rng = np.random.default_rng(1)
+    shape = (2, 2, 32, 16)
+    q, k, v = (jnp.asarray(rng.standard_normal(shape).astype(np.float32))
+               for _ in range(3))
+
+    def loss_ref(q, k, v):
+        return jnp.sum(A._xla_attention(q, k, v) ** 2)
+
+    ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    got = A._pallas_attention_bwd(q, k, v, 2.0 * A._xla_attention(q, k, v),
+                                  interpret=True)
+    for a, b in zip(got, ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=2e-5)

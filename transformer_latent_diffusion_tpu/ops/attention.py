@@ -171,6 +171,71 @@ def _chunked_attention_bwd(q, k, v, g, q_chunk: int):
     return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
 
 
+def _flash_bwd_kernel(q_ref, k_ref, v_ref, g_ref, dq_ref, dk_ref, dv_ref,
+                      *, scale: float):
+    """One (batch*head) program: the whole (N, N) score/probability set
+    lives in VMEM (fine up to ~2048 tokens with a raised vmem limit), so
+    dq/dk/dv come out of one softmax recompute with zero HBM spill.
+    bf16 MXU operands, f32 softmax/accumulation — the same scheme as the
+    forward kernel."""
+    q = q_ref[0]                      # (n, dh), input dtype
+    k = k_ref[0]
+    v = v_ref[0]
+    g = g_ref[0]
+
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32) * scale
+    m = jnp.max(s, axis=-1, keepdims=True)
+    e = jnp.exp(s - m)
+    p = e / jnp.sum(e, axis=-1, keepdims=True)            # f32 (n, n)
+
+    dp = jax.lax.dot_general(g, v, (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    ds = p * (dp - jnp.sum(p * dp, axis=-1, keepdims=True))
+    ds_lp = (ds * scale).astype(q.dtype)
+    p_lp = p.astype(v.dtype)
+
+    dq_ref[0] = jax.lax.dot_general(
+        ds_lp, k, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(dq_ref.dtype)
+    dk_ref[0] = jax.lax.dot_general(
+        ds_lp, q, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(dk_ref.dtype)
+    dv_ref[0] = jax.lax.dot_general(
+        p_lp, g, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(dv_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _pallas_attention_bwd(q, k, v, g, interpret: bool = False):
+    b, h, n, dh = q.shape
+    bh = b * h
+    qf, kf, vf, gf = (x.reshape(bh, n, dh) for x in (q, k, v, g))
+    spec = pl.BlockSpec((1, n, dh), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    outs = pl.pallas_call(
+        functools.partial(_flash_bwd_kernel, scale=1.0 / (dh ** 0.5)),
+        out_shape=tuple(jax.ShapeDtypeStruct((bh, n, dh), x.dtype)
+                        for x in (q, k, v)),
+        grid=(bh,),
+        in_specs=[spec] * 4,
+        out_specs=(spec, spec, spec),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=10 * bh * n * n * dh,
+            bytes_accessed=7 * bh * n * dh * qf.dtype.itemsize,
+            transcendentals=bh * n * n,
+        ),
+        interpret=interpret,
+    )(qf, kf, vf, gf)
+    return tuple(o.reshape(b, h, n, dh) for o in outs)
+
+
+# the Pallas one-program-per-(batch, head) backward holds the full
+# (N, N) f32 score set in VMEM — gate by token count
+_PALLAS_BWD_MAX_TOKENS = 2048
+
 # chunk the backward only when the one-shot recompute's materialized
 # f32 probability tensor would not fit comfortably in HBM: the one-shot
 # is faster per-sample (measured: 1024px batch 8 one-shot 6.6 samples/s
@@ -183,6 +248,9 @@ def _attention_bwd(res, g):
     q, k, v = res
     b, h, nq, _ = q.shape
     nk = k.shape[-2]
+    if (_pallas_ok(q, k) and nq == nk and nq <= _PALLAS_BWD_MAX_TOKENS
+            and nq >= 512):
+        return _pallas_attention_bwd(q, k, v, g)
     p_bytes = b * h * nq * nk * 4
     if (p_bytes > _BWD_ONE_SHOT_MAX_P_BYTES and nq % _BWD_Q_CHUNK == 0
             and nq == nk):
