@@ -189,3 +189,29 @@ def test_pallas_attention_backward_matches_xla():
     for a, b in zip(got, ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-5, atol=2e-5)
+
+
+def test_pallas_attention_backward_tiled_matches_xla():
+    """Tiled (long-sequence) Pallas backward in interpret mode vs
+    jax.grad of the XLA attention."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from transformer_latent_diffusion_tpu.ops import attention as A
+
+    rng = np.random.default_rng(2)
+    shape = (1, 2, 64, 16)
+    q, k, v = (jnp.asarray(rng.standard_normal(shape).astype(np.float32))
+               for _ in range(3))
+
+    def loss_ref(q, k, v):
+        return jnp.sum(A._xla_attention(q, k, v) ** 2)
+
+    ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    got = A._pallas_attention_bwd_tiled(
+        q, k, v, 2.0 * A._xla_attention(q, k, v), q_block=16,
+        interpret=True)
+    for a, b in zip(got, ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=2e-5)

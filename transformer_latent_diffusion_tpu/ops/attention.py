@@ -232,9 +232,80 @@ def _pallas_attention_bwd(q, k, v, g, interpret: bool = False):
     return tuple(o.reshape(b, h, n, dh) for o in outs)
 
 
+def _flash_bwd_tiled_kernel(q_ref, k_ref, v_ref, g_ref,
+                            dq_ref, dk_ref, dv_ref, dk_acc, dv_acc,
+                            *, scale: float, q_block: int):
+    """Tiled variant for long sequences (4096 tokens): full K/V stay in
+    VMEM but scores are recomputed per q-block, with dk/dv accumulated
+    in f32 VMEM scratch — VMEM stays ~30MB where the untiled kernel
+    would need ~3 full (N, N) f32 buffers (~200MB)."""
+    k = k_ref[0]
+    v = v_ref[0]
+    n = k.shape[0]
+    dk_acc[...] = jnp.zeros_like(dk_acc)
+    dv_acc[...] = jnp.zeros_like(dv_acc)
+    for i in range(n // q_block):
+        sl = pl.ds(i * q_block, q_block)
+        q_b = q_ref[0, sl, :]
+        g_b = g_ref[0, sl, :]
+        s = jax.lax.dot_general(q_b, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * scale
+        m = jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s - m)
+        p = e / jnp.sum(e, axis=-1, keepdims=True)
+        dp = jax.lax.dot_general(g_b, v, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        ds = p * (dp - jnp.sum(p * dp, axis=-1, keepdims=True))
+        ds_lp = (ds * scale).astype(q_b.dtype)
+        p_lp = p.astype(v.dtype)
+        dq_ref[0, sl, :] = jax.lax.dot_general(
+            ds_lp, k, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(dq_ref.dtype)
+        dk_acc[...] += jax.lax.dot_general(
+            ds_lp, q_b, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dv_acc[...] += jax.lax.dot_general(
+            p_lp, g_b, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+    dk_ref[0] = dk_acc[...].astype(dk_ref.dtype)
+    dv_ref[0] = dv_acc[...].astype(dv_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("q_block", "interpret"))
+def _pallas_attention_bwd_tiled(q, k, v, g, q_block: int = 512,
+                                interpret: bool = False):
+    b, h, n, dh = q.shape
+    bh = b * h
+    qf, kf, vf, gf = (x.reshape(bh, n, dh) for x in (q, k, v, g))
+    spec = pl.BlockSpec((1, n, dh), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    outs = pl.pallas_call(
+        functools.partial(_flash_bwd_tiled_kernel,
+                          scale=1.0 / (dh ** 0.5), q_block=q_block),
+        out_shape=tuple(jax.ShapeDtypeStruct((bh, n, dh), x.dtype)
+                        for x in (q, k, v)),
+        grid=(bh,),
+        in_specs=[spec] * 4,
+        out_specs=(spec, spec, spec),
+        scratch_shapes=[pltpu.VMEM((n, dh), jnp.float32),
+                        pltpu.VMEM((n, dh), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=10 * bh * n * n * dh,
+            bytes_accessed=7 * bh * n * dh * qf.dtype.itemsize,
+            transcendentals=bh * n * n,
+        ),
+        interpret=interpret,
+    )(qf, kf, vf, gf)
+    return tuple(o.reshape(b, h, n, dh) for o in outs)
+
+
 # the Pallas one-program-per-(batch, head) backward holds the full
-# (N, N) f32 score set in VMEM — gate by token count
+# (N, N) f32 score set in VMEM — gate by token count; the tiled variant
+# handles longer sequences
 _PALLAS_BWD_MAX_TOKENS = 2048
+_PALLAS_BWD_TILED_MAX_TOKENS = 8192
 
 # chunk the backward only when the one-shot recompute's materialized
 # f32 probability tensor would not fit comfortably in HBM: the one-shot
@@ -251,6 +322,9 @@ def _attention_bwd(res, g):
     if (_pallas_ok(q, k) and nq == nk and nq <= _PALLAS_BWD_MAX_TOKENS
             and nq >= 512):
         return _pallas_attention_bwd(q, k, v, g)
+    if (_pallas_ok(q, k) and nq == nk and nq % 512 == 0
+            and nq <= _PALLAS_BWD_TILED_MAX_TOKENS):
+        return _pallas_attention_bwd_tiled(q, k, v, g)
     p_bytes = b * h * nq * nk * 4
     if (p_bytes > _BWD_ONE_SHOT_MAX_P_BYTES and nq % _BWD_Q_CHUNK == 0
             and nq == nk):
