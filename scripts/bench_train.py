@@ -86,6 +86,24 @@ def main():
     print(f"fused={fused}  {dt * 1e3:.1f} ms/step  "
           f"{args.batch / dt:.0f} samples/sec", flush=True)
 
+    # roofline evidence (VERDICT r1 #3): achieved train-step TFLOPS vs
+    # the measured chip GEMM peak. fwd+bwd = 3x the forward matmul FLOPs
+    # (activation grad + weight grad each re-run every GEMM).
+    if jax.default_backend() not in ("cpu",):
+        from bench import denoiser_flops_per_call, measure_peak_tflops
+
+        peak = measure_peak_tflops()
+        flops_per_step = 3.0 * denoiser_flops_per_call(cfg, args.batch)
+        tflops = flops_per_step / dt / 1e12
+        import json
+
+        print(json.dumps({
+            "train_flops_per_step": flops_per_step,
+            "train_tflops": round(tflops, 1),
+            "measured_peak_tflops_bf16": round(peak, 1),
+            "train_pct_of_peak": round(100 * tflops / peak, 1),
+        }), flush=True)
+
 
 if __name__ == "__main__":
     main()

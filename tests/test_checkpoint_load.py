@@ -189,3 +189,64 @@ def test_safetensors_flat_ema_prefix(tmp_path):
     # loaded tree must match the model's own param structure
     ref = init_denoiser_params(model, cfg)
     assert jax.tree.structure(params) == jax.tree.structure(ref)
+
+
+def test_hf_clip_converter_matches_transformers(tmp_path):
+    """convert_hf_clip_state_dict + npz round-trip: our Flax text tower
+    must reproduce transformers' CLIPModel.get_text_features on a tiny
+    random model (the converter path scripts/convert_towers.py uses for
+    openai/clip-vit-large-patch14)."""
+    transformers = pytest.importorskip("transformers")
+    import torch as _torch
+
+    tcfg = transformers.CLIPConfig(
+        text_config=dict(
+            vocab_size=49408, hidden_size=64, intermediate_size=256,
+            num_hidden_layers=2, num_attention_heads=2,
+            max_position_embeddings=77, hidden_act="quick_gelu"),
+        vision_config=dict(
+            hidden_size=32, intermediate_size=64, num_hidden_layers=1,
+            num_attention_heads=2, image_size=32, patch_size=16),
+        projection_dim=64,
+    )
+    _torch.manual_seed(0)
+    tm = transformers.CLIPModel(tcfg).eval()
+
+    from transformer_latent_diffusion_tpu.models.clip import ClipTextModel
+    from transformer_latent_diffusion_tpu.models.torch_compat import (
+        convert_hf_clip_state_dict,
+        load_clip_params,
+    )
+    from transformer_latent_diffusion_tpu.train.checkpoint import save_npz
+
+    params = convert_hf_clip_state_dict(tm.state_dict(), layers=2)
+    path = str(tmp_path / "clip.npz")
+    save_npz(path, params)
+    reloaded = load_clip_params(path, ClipConfig(width=64, heads=2, layers=2,
+                                                 embed_dim=64))
+
+    tokens = np.zeros((2, 77), np.int32)
+    tokens[0, :4] = [1, 5, 7, 49407]
+    tokens[1, :6] = [1, 9, 8, 3, 2, 49407]
+    module = ClipTextModel(width=64, heads=2, layers=2, embed_dim=64)
+    got = np.asarray(module.apply({"params": reloaded},
+                                  jnp.asarray(tokens)))
+    with _torch.no_grad():
+        want = tm.get_text_features(
+            input_ids=_torch.tensor(tokens, dtype=_torch.long)).numpy()
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-4)
+
+
+def test_clip_weights_without_vocab_warns():
+    """Real CLIP weights + HashTokenizer stub is a silently-garbage
+    config; FlaxClip.create must warn loudly."""
+    import warnings
+
+    from transformer_latent_diffusion_tpu.models.clip import FlaxClip
+
+    tiny = FlaxClip.create(width=32, heads=2, layers=1, embed_dim=32)
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        FlaxClip.create(width=32, heads=2, layers=1, embed_dim=32,
+                        params=tiny.params)
+    assert any("vocab" in str(w.message) for w in rec), rec

@@ -79,6 +79,66 @@ def test_graft_entry_and_dryrun():
     mod.dryrun_multichip(4)
 
 
+def test_fused_kernels_gated_off_under_tensor_parallelism():
+    """Pallas calls are not GSPMD-partitionable: with a model axis > 1
+    the fused train kernels must be forced OFF even when explicitly
+    requested, and the TP train step must build + run without them."""
+    from dataclasses import asdict
+
+    import optax
+
+    from transformer_latent_diffusion_tpu.configs import (
+        DenoiserConfig,
+        TrainConfig,
+    )
+    from transformer_latent_diffusion_tpu.models import Denoiser
+    from transformer_latent_diffusion_tpu.train.train import (
+        _build_train_step,
+        resolve_fused_flags,
+    )
+    from transformer_latent_diffusion_tpu.utils import init_denoiser_params
+
+    forced_on = TrainConfig(mesh_shape=(2, 4), fused_layer_vjp=True,
+                            fused_mlp_vjp=True, fused_attn_vjp=True,
+                            batch_size=4)
+    # the gate must override explicit True on any backend
+    for on_tpu in (False, True):
+        assert resolve_fused_flags(forced_on, on_tpu) == (False, False, False)
+    # no TP: explicit flags pass through
+    solo = TrainConfig(mesh_shape=(8, 1), fused_layer_vjp=True)
+    assert resolve_fused_flags(solo, True)[0] is True
+    assert resolve_fused_flags(TrainConfig(), True) == (True, False, False)
+
+    # build + run one real TP=4 train step with the gated flags
+    mesh = create_mesh((2, 4))
+    cfg = DenoiserConfig(image_size=16, embed_dim=256, n_layers=2,
+                         noise_embed_dims=64)
+    fl, fm, fa = resolve_fused_flags(forced_on, True)
+    model = Denoiser(**asdict(cfg), fused_layer_vjp=fl, fused_mlp_vjp=fm,
+                     fused_attn_vjp=fa)
+    params = init_denoiser_params(model, cfg)
+    optimizer = optax.adam(1e-4)
+    from transformer_latent_diffusion_tpu.parallel import replicated
+
+    p_shard = param_shardings(params, mesh)
+    params = jax.device_put(params, p_shard)
+    state = {
+        "params": params,
+        "ema_params": jax.device_put(jax.tree.map(jnp.copy, params), p_shard),
+        "opt_state": jax.tree.map(
+            lambda l: jax.device_put(l, replicated(mesh)),
+            optimizer.init(params)),
+        "step": jnp.asarray(0),
+    }
+    step = jax.jit(_build_train_step(model, optimizer, forced_on, 8.0))
+    x = jax.device_put(np.ones((4, 4, 16, 16), np.float32),
+                       batch_sharding(mesh))
+    y = jax.device_put(np.ones((4, cfg.text_emb_size), np.float32),
+                       batch_sharding(mesh))
+    state, loss = step(state, x, y, jax.random.PRNGKey(0))
+    assert np.isfinite(float(loss))
+
+
 def test_sharded_generation_matches_single_device():
     """generate() with a mesh shards the sampling scan batch-DP over the
     'data' axis (GSPMD) and must match the unsharded XLA path."""

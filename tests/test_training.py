@@ -61,9 +61,11 @@ def test_training(tmp_path):
     assert result["global_step"] == 4  # 64/32 batches x 2 epochs
     losses = result["losses"]
     assert all(np.isfinite(losses))
-    # eval image written at step 0 (reference writes the same files)
-    assert os.path.exists("emb_val_cfg:4.5_seed:10.png")
-    assert os.path.exists("img.jpg")
+    # eval images written at step 0 into the run directory (reference
+    # writes the same filenames, into the CWD)
+    eval_dir = tmp_path / "ckpts" / "model" / "eval"
+    assert os.path.exists(eval_dir / "emb_val_cfg:4.5_seed:10.png")
+    assert os.path.exists(eval_dir / "img.jpg")
 
 
 def test_training_loss_decreases(tmp_path):
@@ -127,6 +129,26 @@ def test_checkpoint_resume(tmp_path):
     flat_a = jax.tree.leaves(saved_ema)
     flat_b = jax.tree.leaves(got)
     for a, b in zip(flat_a, flat_b):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_run_id_resume(tmp_path):
+    """run_id selects which previous run's checkpoint to resume from
+    (redesign of the reference's wandb.restore(run_id), train.py:92-100):
+    a new run named m1 warm-starts from run m0's EMA weights."""
+    from transformer_latent_diffusion_tpu.train import main
+
+    cfg = _model_cfg(tmp_path, denoiser=SMALL_DENOISER, img_size=8,
+                     save_model=True, model_name="m0", n_epoch=1)
+    r1 = main(cfg)
+
+    cfg2 = _model_cfg(tmp_path, denoiser=SMALL_DENOISER, img_size=8,
+                      save_model=False, model_name="m1", run_id="m0",
+                      from_scratch=False, n_epoch=0)
+    r2 = main(cfg2)
+    assert r2["global_step"] == r1["global_step"]
+    for a, b in zip(jax.tree.leaves(jax.device_get(r1["state"]["ema_params"])),
+                    jax.tree.leaves(jax.device_get(r2["state"]["params"]))):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 

@@ -160,6 +160,12 @@ class TrainConfig:
     # the token count reaches 2048 — without it 1024px/4096-token
     # training OOMs 16GB HBM at useful batch sizes)
     remat: Optional[bool] = None
+    # sequence (context) parallelism: shard self-attention's token dim
+    # over the mesh 'model' axis (parallel/sequence.py). None = auto (on
+    # when the model axis > 1 and the token count reaches 4096, i.e.
+    # 1024px fine-tunes on a TP mesh). Mutually exclusive with the fused
+    # Pallas kernels (which the TP gate already disables).
+    sequence_parallel: Optional[bool] = None
 
 
 @dataclass

@@ -292,6 +292,17 @@ def main(data_config: DataDownloadConfig):
         except ImportError:
             print("wandb not available; continuing without logging")
 
+    if data_config.use_drive:
+        # parity: reference data.py:194-197 mounts Google Drive so
+        # latent_save_path can live on persistent colab storage
+        try:
+            from google.colab import drive  # type: ignore
+
+            drive.mount("/content/drive")
+        except ImportError:
+            print("use_drive=True but google.colab is unavailable; "
+                  "skipping Drive mount (latents save locally)")
+
     os.makedirs(data_config.latent_save_path, exist_ok=True)
     config_file_path = os.path.join(data_config.latent_save_path, "config.json")
     with open(config_file_path, "w") as f:

@@ -11,7 +11,7 @@ layout); attention dispatches to a Pallas kernel on TPU.
 from __future__ import annotations
 
 import math
-from typing import Type, Union
+from typing import Any, Type, Union
 
 import jax
 import jax.numpy as jnp
@@ -53,20 +53,37 @@ def sinusoidal_embedding(
 
 
 class SelfAttention(nn.Module):
-    """Fused-QKV self attention. Parity: transformer_blocks.py:51-59."""
+    """Fused-QKV self attention. Parity: transformer_blocks.py:51-59.
+
+    seq_mesh: optional ('data','model') jax.sharding.Mesh — routes the
+    attention through parallel.sequence.sequence_parallel_attention with
+    the token dim sharded over the 'model' axis (long-grid 512/1024px
+    training on multi-chip meshes; numerically identical to the dense
+    path, tests/test_sequence_parallel.py)."""
 
     embed_dim: int
     n_heads: int = 4
     dropout_level: float = 0.0
     use_pallas: bool = False
     dtype: jnp.dtype = jnp.float32
+    seq_mesh: Any = None
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
         qkv = nn.Dense(3 * self.embed_dim, use_bias=False, dtype=self.dtype,
                        name="qkv_linear")(x)
         q, k, v = jnp.split(qkv, 3, axis=-1)
-        out = multi_head_attention(q, k, v, self.n_heads, use_pallas=self.use_pallas)
+        mesh = self.seq_mesh
+        if (mesh is not None and mesh.shape.get("model", 1) > 1
+                and x.shape[1] % mesh.shape["model"] == 0):
+            from transformer_latent_diffusion_tpu.parallel.sequence import (
+                sequence_parallel_attention,
+            )
+
+            out = sequence_parallel_attention(q, k, v, self.n_heads, mesh)
+        else:
+            out = multi_head_attention(q, k, v, self.n_heads,
+                                       use_pallas=self.use_pallas)
         if self.dropout_level > 0:
             # reference applies dropout on attention probs inside SDPA; an
             # output dropout is the standard JAX equivalent (default is 0).
@@ -227,6 +244,9 @@ class DecoderBlock(nn.Module):
     fused_attn_vjp: bool = False
     fused_layer_vjp: bool = False
     dtype: jnp.dtype = jnp.float32
+    # sequence parallelism (see SelfAttention.seq_mesh). Mutually
+    # exclusive with the fused Pallas kernels (not GSPMD-partitionable).
+    seq_mesh: Any = None
 
     @nn.compact
     def __call__(self, x, y, deterministic: bool = True):
@@ -235,12 +255,14 @@ class DecoderBlock(nn.Module):
         square = int(math.isqrt(n_tokens)) ** 2 == n_tokens
         use_layer = (self.fused_layer_vjp and self.dropout_level == 0
                      and self.mlp_class is MLPSepConv and square
+                     and self.seq_mesh is None
                      and n_tokens <= FUSED_LAYER_MAX_TOKENS)
         # beyond the full-layer limit, degrade to the component fused ops
         # within their own measured limits
         want_attn = self.fused_attn_vjp or (self.fused_layer_vjp
                                             and not use_layer)
         use_attn = (want_attn and self.dropout_level == 0
+                    and self.seq_mesh is None
                     and n_tokens <= FUSED_ATTN_MAX_TOKENS)
         want_mlp = self.fused_mlp_vjp or (self.fused_layer_vjp
                                           and not use_layer)
@@ -319,7 +341,8 @@ class DecoderBlock(nn.Module):
         else:
             x = x + SelfAttention(
                 self.embed_dim, n_heads, self.dropout_level,
-                use_pallas=self.use_pallas, dtype=self.dtype, name="self_attention",
+                use_pallas=self.use_pallas, dtype=self.dtype,
+                seq_mesh=self.seq_mesh, name="self_attention",
             )(nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name="norm1")(x),
               deterministic=deterministic)
             x = x + CrossAttention(

@@ -257,12 +257,28 @@ class FlaxClip:
                vocab_path: Optional[str] = None, dtype=jnp.float32):
         module = ClipTextModel(width=width, heads=heads, layers=layers,
                                embed_dim=embed_dim, dtype=dtype)
+        real_weights = params is not None
         if params is None:
             tokens = jnp.zeros((1, CONTEXT_LENGTH), dtype=jnp.int32)
             params = jax.jit(module.init)(jax.random.PRNGKey(seed), tokens)["params"]
         if vocab_path and os.path.exists(vocab_path):
             tokenizer = BpeTokenizer(vocab_path)
         else:
+            if real_weights:
+                # real CLIP weights + hash-stub tokenizer produce
+                # silently-garbage embeddings (the stub's token ids do
+                # not correspond to the trained vocabulary) — be loud.
+                import warnings
+
+                warnings.warn(
+                    "CLIP weights were provided but no BPE vocab_path: "
+                    "falling back to the HashTokenizer stub, whose token "
+                    "ids DO NOT match the trained vocabulary — text "
+                    "embeddings will be garbage. Pass "
+                    "ClipConfig(vocab_path=...) pointing at the openai "
+                    "CLIP bpe_simple_vocab_16e6.txt.gz (see "
+                    "scripts/convert_towers.py).",
+                    stacklevel=2)
             tokenizer = HashTokenizer()
         return cls(module=module, params=params, tokenizer=tokenizer)
 

@@ -12,7 +12,7 @@ Public array layout matches the reference API: latents are NCHW.
 
 from __future__ import annotations
 
-from typing import Optional
+from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp
@@ -77,6 +77,10 @@ class DenoiserTransBlock(nn.Module):
     # (B, 4096, 768) residuals OOM the 16GB HBM at batch 16.
     remat: bool = False
     dtype: jnp.dtype = jnp.float32
+    # sequence parallelism: shard self-attention's token dim over the
+    # mesh 'model' axis (parallel/sequence.py). Set via
+    # TrainConfig.sequence_parallel; excludes the fused Pallas kernels.
+    seq_mesh: Any = None
 
     @nn.compact
     def __call__(self, x, cond, deterministic: bool = True,
@@ -125,6 +129,7 @@ class DenoiserTransBlock(nn.Module):
                 fused_mlp_vjp=self.fused_mlp_vjp,
                 fused_attn_vjp=self.fused_attn_vjp,
                 fused_layer_vjp=self.fused_layer_vjp,
+                seq_mesh=self.seq_mesh,
                 dtype=self.dtype,
                 name=f"decoder_block_{i}",
             )(tokens, cond, deterministic)
@@ -158,6 +163,7 @@ class Denoiser(nn.Module):
     fused_layer_vjp: bool = False
     remat: bool = False  # checkpoint each decoder block (hi-res training)
     dtype: jnp.dtype = jnp.float32
+    seq_mesh: Any = None  # sequence-parallel attention mesh (see blocks.py)
 
     @nn.compact
     def __call__(self, x, noise_level, label, deterministic: bool = True,
@@ -189,6 +195,7 @@ class Denoiser(nn.Module):
             fused_attn_vjp=self.fused_attn_vjp,
             fused_layer_vjp=self.fused_layer_vjp,
             remat=self.remat,
+            seq_mesh=self.seq_mesh,
             dtype=self.dtype,
             name="denoiser_trans_block",
         )(x, cond, deterministic=deterministic,

@@ -63,7 +63,12 @@ def load_state_dict_file(path: str) -> Dict[str, Any]:
         return read_safetensors(path)
     import torch
 
-    sd = torch.load(path, map_location="cpu")
+    try:
+        sd = torch.load(path, map_location="cpu", weights_only=False)
+    except Exception:
+        # openai CLIP publishes TorchScript archives (e.g. ViT-L/14.pt)
+        # that torch.load cannot unpickle
+        sd = torch.jit.load(path, map_location="cpu")
     if hasattr(sd, "state_dict"):
         sd = sd.state_dict()
     return sd
@@ -234,6 +239,12 @@ def convert_torch_vae_state_dict(sd: Dict[str, Any], block_out_channels,
 
 
 def load_vae_params(path: str, vae_cfg):
+    if path.endswith(".npz"):  # pre-converted (scripts/convert_towers.py)
+        from transformer_latent_diffusion_tpu.train.checkpoint import (
+            unflatten_npz,
+        )
+
+        return unflatten_npz(path)
     sd = load_state_dict_file(path)
     return convert_torch_vae_state_dict(
         sd, vae_cfg.block_out_channels, vae_cfg.layers_per_block)
@@ -267,6 +278,56 @@ def convert_torch_clip_state_dict(sd: Dict[str, Any], layers: int) -> Dict[str, 
     return params
 
 
+def convert_hf_clip_state_dict(sd: Dict[str, Any], layers: int) -> Dict[str, Any]:
+    """HuggingFace-transformers CLIPModel/CLIPTextModel state_dict (e.g.
+    openai/clip-vit-large-patch14) -> our Flax param tree.
+
+    The HF layout stores q/k/v projections separately
+    (text_model.encoder.layers.N.self_attn.{q,k,v}_proj); openai's
+    reference layout (and ours) fuses them into one in_proj. Vision-tower
+    keys are ignored."""
+    sd = _strip_prefix(sd)
+    pre = "text_model."
+    emb = pre + "embeddings."
+    params: Dict[str, Any] = {
+        "token_embedding": {
+            "embedding": _np(sd[emb + "token_embedding.weight"])},
+        "positional_embedding": _np(sd[emb + "position_embedding.weight"]),
+        "ln_final": _ln(sd, pre + "final_layer_norm"),
+        # HF CLIPModel: text_projection.weight is (proj, width), no bias;
+        # openai stores the (width, proj) matrix directly
+        "text_projection": _np(sd["text_projection.weight"]).T,
+    }
+    for i in range(layers):
+        base = f"{pre}encoder.layers.{i}"
+        qw = _np(sd[f"{base}.self_attn.q_proj.weight"])
+        kw = _np(sd[f"{base}.self_attn.k_proj.weight"])
+        vw = _np(sd[f"{base}.self_attn.v_proj.weight"])
+        qb = _np(sd[f"{base}.self_attn.q_proj.bias"])
+        kb = _np(sd[f"{base}.self_attn.k_proj.bias"])
+        vb = _np(sd[f"{base}.self_attn.v_proj.bias"])
+        params[f"resblock_{i}"] = {
+            "ln_1": _ln(sd, f"{base}.layer_norm1"),
+            "attn_in_proj": {
+                "kernel": np.concatenate([qw, kw, vw], axis=0).T,
+                "bias": np.concatenate([qb, kb, vb], axis=0),
+            },
+            "attn_out_proj": _linear(sd, f"{base}.self_attn.out_proj"),
+            "ln_2": _ln(sd, f"{base}.layer_norm2"),
+            "mlp_c_fc": _linear(sd, f"{base}.mlp.fc1"),
+            "mlp_c_proj": _linear(sd, f"{base}.mlp.fc2"),
+        }
+    return params
+
+
 def load_clip_params(path: str, clip_cfg):
+    if path.endswith(".npz"):  # pre-converted (scripts/convert_towers.py)
+        from transformer_latent_diffusion_tpu.train.checkpoint import (
+            unflatten_npz,
+        )
+
+        return unflatten_npz(path)
     sd = load_state_dict_file(path)
+    if any(k.startswith("text_model.") or ".text_model." in k for k in sd):
+        return convert_hf_clip_state_dict(sd, clip_cfg.layers)
     return convert_torch_clip_state_dict(sd, clip_cfg.layers)

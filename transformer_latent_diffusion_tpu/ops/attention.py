@@ -319,8 +319,11 @@ def _attention_bwd(res, g):
     q, k, v = res
     b, h, nq, _ = q.shape
     nk = k.shape[-2]
+    # nq % 128 == 0: Mosaic tile alignment — a non-aligned length like
+    # 520 would pass the other gates but fail to compile with no XLA
+    # fallback (model shapes are powers of two, so this is a safety net)
     if (_pallas_ok(q, k) and nq == nk and nq <= _PALLAS_BWD_MAX_TOKENS
-            and nq >= 512):
+            and nq >= 512 and nq % 128 == 0):
         return _pallas_attention_bwd(q, k, v, g)
     if (_pallas_ok(q, k) and nq == nk and nq % 512 == 0
             and nq <= _PALLAS_BWD_TILED_MAX_TOKENS):

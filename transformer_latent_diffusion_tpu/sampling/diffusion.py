@@ -289,7 +289,12 @@ class DiffusionGenerator:
 
             x_t = jax.device_put(x_t, batch_sharding(self.mesh))
             labels_cat = jax.device_put(labels_cat, batch_sharding(self.mesh))
-            self.params = jax.device_put(self.params, replicated(self.mesh))
+            # place params once per distinct tree (memoized on identity);
+            # re-placing 101M params on every request would re-upload the
+            # whole tree to the mesh each call
+            if getattr(self, "_mesh_placed_params", None) is not self.params:
+                self.params = jax.device_put(self.params, replicated(self.mesh))
+                self._mesh_placed_params = self.params
 
         run = self._sample_fn(n_steps, tuple(x_t.shape), cache_interval)
         x0 = run(

@@ -38,12 +38,20 @@ class GenerationService:
     """
 
     def __init__(self, cfg: Optional[LTDConfig] = None, transformer=None,
-                 microbatch: Optional[int] = None, max_wait_ms: float = 25.0):
+                 microbatch: Optional[int] = None, max_wait_ms: float = 25.0,
+                 request_timeout_s: Optional[float] = None):
         from transformer_latent_diffusion_tpu.sampling import DiffusionTransformer
 
         self.transformer = transformer or DiffusionTransformer(cfg or LTDConfig())
         if microbatch is None and os.getenv("SERVE_MICROBATCH"):
             microbatch = int(os.environ["SERVE_MICROBATCH"])
+        # finite timeout so a wedged device call fails the one request
+        # with TimeoutError instead of blocking every HTTP worker thread
+        # forever (first-compile of a new bucket can take minutes on a
+        # tunneled TPU, hence the generous default)
+        if request_timeout_s is None:
+            request_timeout_s = float(os.getenv("SERVE_TIMEOUT_S", "900"))
+        self.request_timeout_s = request_timeout_s
         self.batcher = None
         if microbatch:
             from transformer_latent_diffusion_tpu.serve.batcher import MicroBatcher
@@ -61,6 +69,7 @@ class GenerationService:
             img = self.batcher.generate(
                 prompt=prompt, class_guidance=class_guidance, seed=seed,
                 num_imgs=num_imgs, img_size=img_size, n_iter=n_iter,
+                timeout=self.request_timeout_s,
             )
         else:
             img = self.transformer.generate_image_from_text(

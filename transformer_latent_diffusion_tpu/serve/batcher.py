@@ -13,11 +13,12 @@ Design:
     compiled scan's math), packs up to `max_batch` images, and pads the
     batch up to a fixed BUCKET size so XLA compiles one program per
     bucket instead of one per batch size;
-  * per-request determinism is preserved exactly: each request's initial
-    noise is drawn from its own PRNGKey(seed) — identical to what
-    `DiffusionTransformer.generate_image_from_text` would produce for
-    the same arguments served alone — and classifier-free guidance is a
-    per-image vector, so heterogeneous guidance strengths batch together.
+  * per-request seeding is preserved: each request's initial noise is
+    drawn from its own PRNGKey(seed) and classifier-free guidance is a
+    per-image vector, so heterogeneous guidance strengths batch
+    together. Pixels match the solo path within ±1 uint8 step (batched
+    vs solo XLA scheduling perturbs float results slightly;
+    tests/test_batcher.py asserts the ±1 bound).
 
 Thread-safety note: JAX dispatch is thread-safe, but all generation goes
 through the single worker thread anyway, serializing device use.

@@ -71,11 +71,14 @@ def update_ema(ema_params, params, alpha: float = 0.999):
     )
 
 
-def eval_gen(diffuser: DiffusionGenerator, labels, img_size: int):
+def eval_gen(diffuser: DiffusionGenerator, labels, img_size: int,
+             out_dir: str = "."):
     """In-training eval grid: 16 imgs, cfg 4.5, seed 10, 40 steps.
 
     Parity: reference train.py:23-40 (including the repeat_interleave of
-    the 8 val embeddings to 16 and the output filename).
+    the 8 val embeddings to 16 and the output filename); images go into
+    `out_dir` (a run-specific directory from train.main) instead of the
+    CWD so repeated runs don't stomp tracked files.
     """
     class_guidance = 4.5
     seed = 10
@@ -91,7 +94,9 @@ def eval_gen(diffuser: DiffusionGenerator, labels, img_size: int):
         output="uint8",  # quantize on device; 4x smaller eval transfer
     )
     img = uint8_grid_to_pil(np.asarray(out), nrow=8, padding=4)
-    img.save(f"emb_val_cfg:{class_guidance}_seed:{seed}.png")
+    os.makedirs(out_dir, exist_ok=True)
+    img.save(os.path.join(
+        out_dir, f"emb_val_cfg:{class_guidance}_seed:{seed}.png"))
     return img
 
 
@@ -110,6 +115,32 @@ def make_optimizer(train_cfg) -> optax.GradientTransformation:
         boundaries=[warmup],
     )
     return optax.adam(schedule)
+
+
+def resolve_fused_flags(train_cfg, on_tpu: bool):
+    """Resolve the fused-Pallas-VJP flags (layer, mlp, attn).
+
+    None = auto (fused-layer on TPU). Tensor parallelism is a hard gate:
+    Pallas calls are not GSPMD-partitionable, so with a model axis > 1
+    the fused kernels would dispatch against model-sharded params —
+    forced OFF even when explicitly requested (the same reason
+    sampling/diffusion.py gates the fused inference engine off under a
+    mesh). Returns (fused_layer, fused_mlp, fused_attn).
+    """
+    tp = 1
+    if train_cfg.mesh_shape is not None and len(train_cfg.mesh_shape) > 1:
+        tp = int(train_cfg.mesh_shape[1])
+    if tp > 1:
+        return False, False, False
+    fused_layer = (train_cfg.fused_layer_vjp
+                   if train_cfg.fused_layer_vjp is not None else on_tpu)
+    fused_mlp = (train_cfg.fused_mlp_vjp
+                 if train_cfg.fused_mlp_vjp is not None
+                 else (on_tpu and not fused_layer))
+    fused_attn = (train_cfg.fused_attn_vjp
+                  if train_cfg.fused_attn_vjp is not None
+                  else (on_tpu and not fused_layer))
+    return fused_layer, fused_mlp, fused_attn
 
 
 def _build_train_step(model: Denoiser, optimizer, train_cfg, vae_scale_factor):
@@ -192,8 +223,13 @@ def main(config: ModelConfig, init_params: Optional[Any] = None) -> Dict[str, An
         try:
             import wandb
 
+            # run_id resumes the named wandb run, matching the
+            # reference's wandb-based resume identity (train.py:92-100);
+            # checkpoint state itself restores from local orbax below.
             wandb_run = wandb.init(
-                project="cifar_diffusion", config=asdict(config)
+                project="cifar_diffusion", config=asdict(config),
+                id=train_config.run_id or None,
+                resume="allow" if train_config.run_id else None,
             )
         except ImportError:
             log("wandb not available; logging to stdout")
@@ -222,14 +258,13 @@ def main(config: ModelConfig, init_params: Optional[Any] = None) -> Dict[str, An
 
     compute_dtype = resolve_dtype(train_config.compute_dtype)
     on_tpu = jax.default_backend() not in ("cpu",)
-    fused_layer = (train_config.fused_layer_vjp
-                   if train_config.fused_layer_vjp is not None else on_tpu)
-    fused_mlp = (train_config.fused_mlp_vjp
-                 if train_config.fused_mlp_vjp is not None
-                 else (on_tpu and not fused_layer))
-    fused_attn = (train_config.fused_attn_vjp
-                  if train_config.fused_attn_vjp is not None
-                  else (on_tpu and not fused_layer))
+    fused_layer, fused_mlp, fused_attn = resolve_fused_flags(
+        train_config, on_tpu)
+    if on_tpu and not (fused_layer or fused_mlp or fused_attn) and (
+            train_config.fused_layer_vjp or train_config.fused_mlp_vjp
+            or train_config.fused_attn_vjp):
+        log("tensor parallelism active: fused Pallas train kernels "
+            "disabled (not GSPMD-partitionable)")
     # use_pallas: differentiable flash-attention forward (XLA-recompute
     # backward). Irrelevant when the fused-layer kernel is active (256
     # tokens), but past its gate — hi-res fine-tunes — it measures 1.18x
@@ -238,10 +273,18 @@ def main(config: ModelConfig, init_params: Optional[Any] = None) -> Dict[str, An
     n_tokens = (denoiser_config.image_size // denoiser_config.patch_size) ** 2
     remat = (train_config.remat if train_config.remat is not None
              else n_tokens >= 2048)
+    tp_size = mesh.shape["model"]
+    seq_par = (train_config.sequence_parallel
+               if train_config.sequence_parallel is not None
+               else (tp_size > 1 and n_tokens >= 4096))
+    seq_mesh = None
+    if seq_par and tp_size > 1 and n_tokens % tp_size == 0:
+        seq_mesh = mesh
+        log(f"sequence parallelism: token dim sharded over 'model'={tp_size}")
     model = Denoiser(**asdict(denoiser_config), dtype=compute_dtype,
                      use_pallas=on_tpu, remat=remat,
                      fused_mlp_vjp=fused_mlp, fused_attn_vjp=fused_attn,
-                     fused_layer_vjp=fused_layer)
+                     fused_layer_vjp=fused_layer, seq_mesh=seq_mesh)
     eval_model = Denoiser(**asdict(denoiser_config), dtype=compute_dtype,
                           use_pallas=on_tpu)
 
@@ -253,16 +296,23 @@ def main(config: ModelConfig, init_params: Optional[Any] = None) -> Dict[str, An
     optimizer = make_optimizer(train_config)
     opt_state = optimizer.init(params)
 
+    run_name = train_config.model_name or "model"
+    run_dir = os.path.join(train_config.checkpoint_dir, run_name)
     ckpt_mgr = None
     if train_config.save_model or not train_config.from_scratch:
-        ckpt_mgr = CheckpointManager(
-            os.path.join(train_config.checkpoint_dir,
-                         train_config.model_name or "model")
-        )
+        ckpt_mgr = CheckpointManager(run_dir)
+    # run_id selects WHICH previous run to resume from (redesign of the
+    # reference's wandb.restore(run_id) — see PARITY.md): restore reads
+    # checkpoint_dir/<run_id>, new checkpoints save under this run's name.
+    restore_mgr = ckpt_mgr
+    if (not train_config.from_scratch and train_config.run_id
+            and train_config.run_id != run_name):
+        restore_mgr = CheckpointManager(
+            os.path.join(train_config.checkpoint_dir, train_config.run_id))
 
     global_step = 0
     ema_params = jax.tree.map(jnp.copy, params)
-    if not train_config.from_scratch and ckpt_mgr is not None:
+    if not train_config.from_scratch and restore_mgr is not None:
         log("Loading Model:")
         template = {
             "params": params,
@@ -270,7 +320,7 @@ def main(config: ModelConfig, init_params: Optional[Any] = None) -> Dict[str, An
             "opt_state": opt_state,
             "step": 0,
         }
-        restored = ckpt_mgr.restore(template=template)
+        restored = restore_mgr.restore(template=template)
         if restored is not None:
             # resume loads the EMA weights into the train model, matching
             # the reference (train.py:98). Copy so params/ema don't alias
@@ -326,15 +376,19 @@ def main(config: ModelConfig, init_params: Optional[Any] = None) -> Dict[str, An
                     # params are an argument of the compiled sampler, so
                     # updating them does not trigger a recompile
                     diffuser.params = state["ema_params"]
+                    eval_dir = os.path.join(run_dir, "eval")
                     out = eval_gen(
                         diffuser=diffuser, labels=emb_val,
                         img_size=denoiser_config.image_size,
+                        out_dir=eval_dir,
                     )
-                    out.save("img.jpg")
+                    img_path = os.path.join(eval_dir, "img.jpg")
+                    out.save(img_path)
                     if wandb_run is not None:
                         import wandb
 
-                        wandb_run.log({f"step: {global_step}": wandb.Image("img.jpg")})
+                        wandb_run.log(
+                            {f"step: {global_step}": wandb.Image(img_path)})
                 if train_config.save_model and ckpt_mgr is not None:
                     ckpt_mgr.save(global_step, jax.device_get(state))
 
@@ -347,19 +401,26 @@ def main(config: ModelConfig, init_params: Optional[Any] = None) -> Dict[str, An
             # Sync every 16 steps to bound the dispatch queue instead.
             losses.append(loss)
             timer.tick()
-            if global_step % 16 == 0 and wandb_run is None:
+            if global_step % 16 == 0:
+                # one host sync per 16 steps bounds the dispatch queue;
+                # the wandb path buffers and flushes on the same cadence
+                # (a per-step float(loss) would serialize compute against
+                # the tunnel every step)
                 losses[-1] = float(losses[-1])
-                if global_step % 256 == 0 and global_step > 0:
+                if wandb_run is not None:
+                    sps = timer.samples_per_sec(train_config.batch_size)
+                    recent = losses[-16:]
+                    base = global_step - len(recent) + 1
+                    for i, dev_loss in enumerate(recent):
+                        wandb_run.log(
+                            {"train_loss": float(dev_loss),
+                             "samples_per_sec": sps},
+                            step=base + i)
+                elif global_step % 256 == 0 and global_step > 0:
                     log(f"step {global_step} loss {losses[-1]:.5f} "
                         f"{timer.step_ms:.0f} ms/step "
                         f"{timer.samples_per_sec(train_config.batch_size):.0f}"
                         " samples/s")
-            if wandb_run is not None:
-                wandb_run.log(
-                    {"train_loss": float(loss),
-                     "samples_per_sec":
-                         timer.samples_per_sec(train_config.batch_size)},
-                    step=global_step)
 
     if wandb_run is not None:
         wandb_run.finish()
