@@ -139,6 +139,88 @@ def test_fused_kernels_gated_off_under_tensor_parallelism():
     assert np.isfinite(float(loss))
 
 
+def test_dp_shard_map_grads_match_manual_average():
+    """The shard_map DP train path (how fused Pallas kernels compose
+    with multi-chip data parallelism) must produce exactly the
+    psum-average of per-shard gradients, each computed with
+    fold_in(rng, shard_index) — verified against a single-device
+    per-shard reference, with the fused MLP kernel forced ON
+    (interpret-mode Pallas on CPU)."""
+    from dataclasses import asdict
+
+    import optax
+
+    from transformer_latent_diffusion_tpu.configs import (
+        DenoiserConfig,
+        TrainConfig,
+    )
+    from transformer_latent_diffusion_tpu.models import Denoiser
+    from transformer_latent_diffusion_tpu.train.train import _build_train_step
+    from transformer_latent_diffusion_tpu.utils import init_denoiser_params
+
+    dp = 8
+    mesh = create_mesh((dp, 1))
+    cfg = DenoiserConfig(image_size=8, embed_dim=64, n_layers=1,
+                         noise_embed_dims=64)
+    train_cfg = TrainConfig(batch_size=2 * dp, compute_dtype="float32")
+    model = Denoiser(**asdict(cfg), fused_mlp_vjp=True)
+    params = init_denoiser_params(model, cfg)
+    optimizer = optax.sgd(1.0)  # updates == -grads: grads visible exactly
+
+    step_sm = jax.jit(_build_train_step(
+        model, optimizer, train_cfg, 8.0, mesh=mesh, dp_shard_map=True))
+
+    rng_np = np.random.default_rng(0)
+    x = jnp.asarray(rng_np.standard_normal((2 * dp, 4, 8, 8)), jnp.float32)
+    y = jnp.asarray(rng_np.standard_normal((2 * dp, 768)), jnp.float32)
+    key = jax.random.PRNGKey(7)
+
+    state = {
+        "params": params,
+        "ema_params": jax.tree.map(jnp.copy, params),
+        "opt_state": optimizer.init(params),
+        "step": jnp.asarray(0),
+    }
+    new_state, loss = step_sm(
+        {k: jax.tree.map(jnp.copy, v) if k != "step" else v
+         for k, v in state.items()}, x, y, key)
+
+    # reference: per-shard grads on one device, manually averaged
+    from transformer_latent_diffusion_tpu.train.train import (
+        _build_train_step as _bts,
+    )
+    # reuse the internal loss function via a 1-device step with sgd(1):
+    # params_new = params - grad  =>  grad = params - params_new
+    losses, grad_trees = [], []
+    for i in range(dp):
+        shard_state = {
+            "params": jax.tree.map(jnp.copy, params),
+            "ema_params": jax.tree.map(jnp.copy, params),
+            "opt_state": optimizer.init(params),
+            "step": jnp.asarray(0),
+        }
+        step_1 = jax.jit(_bts(model, optimizer, train_cfg, 8.0))
+        ns, li = step_1(shard_state, x[2 * i: 2 * i + 2],
+                        y[2 * i: 2 * i + 2], jax.random.fold_in(key, i))
+        losses.append(float(li))
+        grad_trees.append(jax.tree.map(
+            lambda a, b: np.asarray(a) - np.asarray(b),
+            params, ns["params"]))
+    want_loss = np.mean(losses)
+    np.testing.assert_allclose(float(loss), want_loss, atol=1e-5, rtol=1e-5)
+    got_grads = jax.tree.map(
+        lambda a, b: np.asarray(a) - np.asarray(b),
+        params, new_state["params"])
+    want_grads = jax.tree.map(
+        lambda *gs: np.mean(np.stack(gs), axis=0), *grad_trees)
+    for kp, g in jax.tree_util.tree_leaves_with_path(got_grads):
+        node = want_grads
+        for k in kp:
+            node = node[k.key]
+        np.testing.assert_allclose(g, node, atol=2e-5, rtol=2e-4,
+                                   err_msg=str(kp))
+
+
 def test_sharded_generation_matches_single_device():
     """generate() with a mesh shards the sampling scan batch-DP over the
     'data' axis (GSPMD) and must match the unsharded XLA path."""

@@ -96,6 +96,11 @@ class DiffusionGenerator:
             return self._compiled[key]
 
         model = self.model
+        # mesh-sharded generation is partitioned by GSPMD, which cannot
+        # partition Pallas calls — force the XLA attention path (the
+        # fused engine is gated off below for the same reason)
+        if self.mesh is not None and getattr(model, "use_pallas", False):
+            model = model.clone(use_pallas=False)
         fast_apply = self.fast_apply
 
         def prepare(params):

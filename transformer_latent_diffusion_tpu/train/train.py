@@ -143,7 +143,19 @@ def resolve_fused_flags(train_cfg, on_tpu: bool):
     return fused_layer, fused_mlp, fused_attn
 
 
-def _build_train_step(model: Denoiser, optimizer, train_cfg, vae_scale_factor):
+def _build_train_step(model: Denoiser, optimizer, train_cfg, vae_scale_factor,
+                      mesh=None, dp_shard_map: bool = False):
+    """Build the jitted train step.
+
+    dp_shard_map: compute gradients inside a `shard_map` over the mesh
+    'data' axis (manual SPMD: each device runs the model on its batch
+    shard, grads are psum-averaged over ICI). This is how the fused
+    Pallas kernels compose with multi-chip data parallelism — Pallas
+    calls are not GSPMD-partitionable, but under shard_map they are
+    per-device local. Per-shard noise keys derive from
+    fold_in(rng, axis_index), so a run is statistically equivalent (not
+    bit-equal) to the GSPMD path. Replaces the reference's
+    Accelerate/DDP gradient all-reduce (train.py:109,169)."""
     accum = max(1, train_cfg.grad_accum_steps)
 
     def loss_fn(params, x, y, rng):
@@ -168,25 +180,50 @@ def _build_train_step(model: Denoiser, optimizer, train_cfg, vae_scale_factor):
         )
         return jnp.mean((pred - x) ** 2)
 
+    def grads_of(params, x, y, rng):
+        if accum == 1:
+            return jax.value_and_grad(loss_fn)(params, x, y, rng)
+        xm = x.reshape(accum, x.shape[0] // accum, *x.shape[1:])
+        ym = y.reshape(accum, y.shape[0] // accum, *y.shape[1:])
+        rngs = jax.random.split(rng, accum)
+
+        def micro(carry, inp):
+            loss_acc, grad_acc = carry
+            xi, yi, ri = inp
+            li, gi = jax.value_and_grad(loss_fn)(params, xi, yi, ri)
+            return (loss_acc + li, jax.tree.map(jnp.add, grad_acc, gi)), None
+
+        zero = jax.tree.map(jnp.zeros_like, params)
+        (loss, grads), _ = jax.lax.scan(micro, (0.0, zero), (xm, ym, rngs))
+        return loss / accum, jax.tree.map(lambda g: g / accum, grads)
+
+    if dp_shard_map:
+        assert mesh is not None and mesh.shape["model"] == 1, mesh
+        try:  # jax >= 0.8
+            from jax import shard_map
+        except ImportError:  # pragma: no cover
+            from jax.experimental.shard_map import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        def shard_grads(params, x, y, rng):
+            rng = jax.random.fold_in(rng, jax.lax.axis_index("data"))
+            loss, grads = grads_of(params, x, y, rng)
+            return (jax.lax.pmean(loss, "data"),
+                    jax.lax.pmean(grads, "data"))
+
+        sharded_grads_of = shard_map(
+            shard_grads, mesh=mesh,
+            in_specs=(P(), P("data"), P("data"), P()),
+            out_specs=(P(), P()),
+            check_vma=False,  # pallas custom-vjp ops defeat rep-checking
+        )
+
     def train_step(state: Dict[str, Any], x, y, rng):
         params = state["params"]
-        if accum == 1:
-            loss, grads = jax.value_and_grad(loss_fn)(params, x, y, rng)
+        if dp_shard_map:
+            loss, grads = sharded_grads_of(params, x, y, rng)
         else:
-            xm = x.reshape(accum, x.shape[0] // accum, *x.shape[1:])
-            ym = y.reshape(accum, y.shape[0] // accum, *y.shape[1:])
-            rngs = jax.random.split(rng, accum)
-
-            def micro(carry, inp):
-                loss_acc, grad_acc = carry
-                xi, yi, ri = inp
-                li, gi = jax.value_and_grad(loss_fn)(params, xi, yi, ri)
-                return (loss_acc + li, jax.tree.map(jnp.add, grad_acc, gi)), None
-
-            zero = jax.tree.map(jnp.zeros_like, params)
-            (loss, grads), _ = jax.lax.scan(micro, (0.0, zero), (xm, ym, rngs))
-            loss = loss / accum
-            grads = jax.tree.map(lambda g: g / accum, grads)
+            loss, grads = grads_of(params, x, y, rng)
 
         updates, opt_state = optimizer.update(grads, state["opt_state"], params)
         params = optax.apply_updates(params, updates)
@@ -281,8 +318,12 @@ def main(config: ModelConfig, init_params: Optional[Any] = None) -> Dict[str, An
     if seq_par and tp_size > 1 and n_tokens % tp_size == 0:
         seq_mesh = mesh
         log(f"sequence parallelism: token dim sharded over 'model'={tp_size}")
+    # TP>1 trains via GSPMD, which cannot partition Pallas calls: the
+    # flash-attention forward (use_pallas) must fall back to XLA there
+    # too, not just the fused VJP kernels. DP-only meshes are safe —
+    # gradients run inside shard_map (per-device Pallas).
     model = Denoiser(**asdict(denoiser_config), dtype=compute_dtype,
-                     use_pallas=on_tpu, remat=remat,
+                     use_pallas=on_tpu and tp_size == 1, remat=remat,
                      fused_mlp_vjp=fused_mlp, fused_attn_vjp=fused_attn,
                      fused_layer_vjp=fused_layer, seq_mesh=seq_mesh)
     eval_model = Denoiser(**asdict(denoiser_config), dtype=compute_dtype,
@@ -344,8 +385,16 @@ def main(config: ModelConfig, init_params: Optional[Any] = None) -> Dict[str, An
         "step": jnp.asarray(global_step),
     }
 
+    # multi-chip DP with Pallas ops in the graph needs manual SPMD
+    # (shard_map): Pallas calls are not GSPMD-partitionable, so on TPU
+    # the gradient computation runs per-device on batch shards with a
+    # psum over ICI (DDP semantics). Single chip / CPU / TP meshes keep
+    # the GSPMD path.
+    dp_shard_map = (on_tpu and mesh.shape["data"] > 1
+                    and mesh.shape["model"] == 1)
     train_step = _build_train_step(
-        model, optimizer, train_config, config.vae_cfg.vae_scale_factor
+        model, optimizer, train_config, config.vae_cfg.vae_scale_factor,
+        mesh=mesh, dp_shard_map=dp_shard_map,
     )
     donate = (0,) if train_config.compile else ()
     train_step = jax.jit(train_step, donate_argnums=donate)
