@@ -120,6 +120,12 @@ class DiffusionTransformer:
             )
 
             vae_params = load_vae_params(cfg.vae_cfg.weights_path, cfg.vae_cfg)
+        elif cfg.vae_cfg.vae_name:
+            # the reference pulls this model from the hub at runtime
+            # (diffusion.py:157-158); here towers are converted once
+            print(f"VAE '{cfg.vae_cfg.vae_name}': no weights_path — "
+                  f"random-init (convert real weights with "
+                  f"scripts/convert_towers.py)")
         self.vae = FlaxVae.create(
             block_out_channels=cfg.vae_cfg.block_out_channels,
             layers_per_block=cfg.vae_cfg.layers_per_block,
@@ -135,6 +141,10 @@ class DiffusionTransformer:
             )
 
             clip_params = load_clip_params(cfg.clip_cfg.weights_path, cfg.clip_cfg)
+        elif cfg.clip_cfg.clip_model_name:
+            print(f"CLIP '{cfg.clip_cfg.clip_model_name}': no weights_path "
+                  f"— random-init (convert real weights with "
+                  f"scripts/convert_towers.py)")
         self.clip_model = FlaxClip.create(
             width=cfg.clip_cfg.width,
             heads=cfg.clip_cfg.heads,
@@ -142,6 +152,7 @@ class DiffusionTransformer:
             embed_dim=cfg.clip_cfg.embed_dim,
             params=clip_params,
             vocab_path=cfg.clip_cfg.vocab_path,
+            dtype=resolve_dtype(cfg.clip_cfg.clip_dtype),
         )
 
         fast_apply = None

@@ -329,11 +329,18 @@ def main(config: ModelConfig, init_params: Optional[Any] = None) -> Dict[str, An
     eval_model = Denoiser(**asdict(denoiser_config), dtype=compute_dtype,
                           use_pallas=on_tpu)
 
+    param_dtype = resolve_dtype(train_config.param_dtype)
     if init_params is not None:
         params = jax.tree.map(jnp.asarray, init_params)
     else:
         params = init_denoiser_params(model, denoiser_config,
                                       seed=train_config.seed)
+    if param_dtype != jnp.float32:
+        # opt-in low-precision master weights (f32 is the default and
+        # the reference behaviour; compute dtype is separate)
+        params = jax.tree.map(
+            lambda p: p.astype(param_dtype)
+            if jnp.issubdtype(p.dtype, jnp.floating) else p, params)
     optimizer = make_optimizer(train_config)
     opt_state = optimizer.init(params)
 
