@@ -250,3 +250,12 @@ def test_sharded_generation_matches_single_device():
     assert len(got.sharding.device_set) == len(jax.devices())
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=1e-4, rtol=1e-4)
+
+    # DP x TP generation: params sharded by the Megatron TP rules over
+    # the model axis, batch over data; XLA inserts the all-reduces
+    mesh_tp = create_mesh((2, 4))
+    gen_tp = DiffusionGenerator(model=model, params=params, vae=None,
+                                mesh=mesh_tp)
+    _, got_tp = gen_tp.generate(**kw)
+    np.testing.assert_allclose(np.asarray(got_tp), np.asarray(want),
+                               atol=1e-4, rtol=1e-4)

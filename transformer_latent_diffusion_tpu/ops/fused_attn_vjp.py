@@ -69,14 +69,32 @@ def _ln_bwd(dy, xhat, rstd, scale):
     return dx, dscale, dbias
 
 
+def _rowsum_mxu(a):
+    """(n, k) f32 -> (n, 1) row-sum as an MXU ones-matmul.
+
+    VPU lane-reduces over the (N, N) score rows are the single biggest
+    non-matmul cost in these kernels: replacing the softmax denominator
+    and the dsoftmax inner-product reduces with f32 ones-matmuls (bf16x3
+    passes, ~f32 precision; N=128 output for lane alignment) measured a
+    same-process 1.156x on the full fused train step
+    (scripts/probe_train_softmax.py: 491 -> 425 ms/step at batch 256).
+    The row MAX stays a VPU reduce — it has no matmul form. The
+    inference engine keeps plain reduces: any reordering of its softmax
+    arithmetic drifts the 50-step latents ~1e-2 (chaotic amplification,
+    scripts/probe_attn_parts.py), threatening the reference-parity
+    budget, while per-step gradient parity is insensitive at 5e-3."""
+    ones = jnp.ones((a.shape[-1], 128), jnp.float32)
+    return _mm(a, ones)[:, :1]
+
+
 def _softmax_rows(s):
     m = jnp.max(s, axis=-1, keepdims=True)
     e = jnp.exp(s - m)
-    return e / jnp.sum(e, axis=-1, keepdims=True)
+    return e / _rowsum_mxu(e)
 
 
 def _softmax_bwd(p, dp):
-    return p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+    return p * (dp - _rowsum_mxu(dp * p))
 
 
 # ------------------------------ forward -------------------------------------

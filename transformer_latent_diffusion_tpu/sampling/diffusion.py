@@ -289,16 +289,20 @@ class DiffusionGenerator:
             # is [labels; zeros] with the same per-shard layout)
             from transformer_latent_diffusion_tpu.parallel import (
                 batch_sharding,
-                replicated,
+                param_shardings,
             )
 
             x_t = jax.device_put(x_t, batch_sharding(self.mesh))
             labels_cat = jax.device_put(labels_cat, batch_sharding(self.mesh))
             # place params once per distinct tree (memoized on identity);
             # re-placing 101M params on every request would re-upload the
-            # whole tree to the mesh each call
+            # whole tree to the mesh each call. param_shardings applies
+            # Megatron-style TP rules when the mesh has a model axis > 1
+            # (tensor-parallel generation; XLA inserts the all-reduces)
+            # and degenerates to full replication on data-only meshes.
             if getattr(self, "_mesh_placed_params", None) is not self.params:
-                self.params = jax.device_put(self.params, replicated(self.mesh))
+                self.params = jax.device_put(
+                    self.params, param_shardings(self.params, self.mesh))
                 self._mesh_placed_params = self.params
 
         run = self._sample_fn(n_steps, tuple(x_t.shape), cache_interval)
