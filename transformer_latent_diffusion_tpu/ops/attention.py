@@ -171,6 +171,26 @@ def _chunked_attention_bwd(q, k, v, g, q_chunk: int):
     return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
 
 
+# softmax row-sums as MXU ones-matmuls instead of VPU lane-reduces:
+# measured 1.156x on the fused 256-token train kernels
+# (scripts/probe_train_softmax.py) but 0.37x — a 2.7x SLOWDOWN — in
+# these flash backward kernels at 1024 tokens
+# (scripts/probe_highres_softmax.py: 600 -> 1618 ms/step at 512px,
+# batch 64). The trick only pays at small row counts; keep the VPU
+# reduces here. Flag + helper retained for same-process A/B probes.
+_ROWSUM_VIA_MXU = False
+
+
+def _rowsum(a):
+    """(n, k) f32 -> (n, 1) row-sum; MXU ones-matmul when enabled."""
+    if not _ROWSUM_VIA_MXU:
+        return jnp.sum(a, axis=-1, keepdims=True)
+    ones = jnp.ones((a.shape[-1], 128), jnp.float32)
+    return jax.lax.dot_general(
+        a, ones, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)[:, :1]
+
+
 def _flash_bwd_kernel(q_ref, k_ref, v_ref, g_ref, dq_ref, dk_ref, dv_ref,
                       *, scale: float):
     """One (batch*head) program: the whole (N, N) score/probability set
@@ -187,11 +207,11 @@ def _flash_bwd_kernel(q_ref, k_ref, v_ref, g_ref, dq_ref, dk_ref, dv_ref,
                             preferred_element_type=jnp.float32) * scale
     m = jnp.max(s, axis=-1, keepdims=True)
     e = jnp.exp(s - m)
-    p = e / jnp.sum(e, axis=-1, keepdims=True)            # f32 (n, n)
+    p = e / _rowsum(e)                                    # f32 (n, n)
 
     dp = jax.lax.dot_general(g, v, (((1,), (1,)), ((), ())),
                              preferred_element_type=jnp.float32)
-    ds = p * (dp - jnp.sum(p * dp, axis=-1, keepdims=True))
+    ds = p * (dp - _rowsum(p * dp))
     ds_lp = (ds * scale).astype(q.dtype)
     p_lp = p.astype(v.dtype)
 
@@ -252,10 +272,10 @@ def _flash_bwd_tiled_kernel(q_ref, k_ref, v_ref, g_ref,
                                 preferred_element_type=jnp.float32) * scale
         m = jnp.max(s, axis=-1, keepdims=True)
         e = jnp.exp(s - m)
-        p = e / jnp.sum(e, axis=-1, keepdims=True)
+        p = e / _rowsum(e)
         dp = jax.lax.dot_general(g_b, v, (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32)
-        ds = p * (dp - jnp.sum(p * dp, axis=-1, keepdims=True))
+        ds = p * (dp - _rowsum(p * dp))
         ds_lp = (ds * scale).astype(q_b.dtype)
         p_lp = p.astype(v.dtype)
         dq_ref[0, sl, :] = jax.lax.dot_general(
