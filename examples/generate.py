@@ -2,9 +2,12 @@
 inference flow with the same public API).
 
 With pretrained weights (converted from the reference's published torch
-checkpoint on the fly):
+checkpoint on the fly) and real towers (converted once via
+scripts/convert_towers.py):
 
     python examples/generate.py --weights state_dict_378000.pth \
+        --vae-npz towers/vae.npz --clip-npz towers/clip.npz \
+        --vocab towers/bpe_simple_vocab_16e6.txt.gz \
         --prompt "a cute puppy wearing a cape" --num-imgs 9
 
 Without weights it runs the untrained flagship model end-to-end (useful
@@ -27,6 +30,12 @@ def main():
     ap.add_argument("--num-imgs", type=int, default=1)
     ap.add_argument("--n-iter", type=int, default=15)
     ap.add_argument("--out", default="out.png")
+    ap.add_argument("--vae-npz", default=None,
+                    help="converted VAE weights (scripts/convert_towers.py)")
+    ap.add_argument("--clip-npz", default=None,
+                    help="converted CLIP weights")
+    ap.add_argument("--vocab", default=None,
+                    help="CLIP BPE vocab (bpe_simple_vocab_16e6.txt.gz)")
     ap.add_argument("--tiny", action="store_true",
                     help="tiny towers (CPU-friendly smoke test)")
     args = ap.parse_args()
@@ -47,6 +56,9 @@ def main():
             denoiser_cfg=DenoiserConfig(
                 image_size=32, embed_dim=768, n_layers=12, noise_embed_dims=256),
             denoiser_load=DenoiserLoad(local_filename=args.weights),
+            vae_cfg=VaeConfig(weights_path=args.vae_npz),
+            clip_cfg=ClipConfig(weights_path=args.clip_npz,
+                                vocab_path=args.vocab),
         )
 
     dt = DiffusionTransformer(cfg)

@@ -132,6 +132,32 @@ def test_checkpoint_resume(tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_async_periodic_checkpoint(tmp_path):
+    """Mid-loop checkpoints are saved asynchronously from an on-device
+    snapshot while the train step donates the live state's buffers
+    (train.py periodic-save path). All periodic steps must land on disk
+    and restore to finite, donation-untouched values."""
+    from transformer_latent_diffusion_tpu.train import main
+    from transformer_latent_diffusion_tpu.train.checkpoint import (
+        CheckpointManager,
+    )
+
+    cfg = _model_cfg(tmp_path, denoiser=SMALL_DENOISER, img_size=8,
+                     save_model=True, model_name="m0", n_epoch=2,
+                     save_and_eval_every_iters=2)
+    r = main(cfg)
+    assert r["global_step"] == 4
+
+    mgr = CheckpointManager(str(tmp_path / "ckpts" / "m0"))
+    # periodic saves at steps 0 and 2 (async), final at 4 (blocking);
+    # max_to_keep=3 keeps all of them
+    assert mgr.latest_step() == 4
+    restored = mgr.restore(2)
+    assert restored is not None
+    for leaf in jax.tree.leaves(restored["ema_params"]):
+        assert np.isfinite(np.asarray(leaf)).all()
+
+
 def test_run_id_resume(tmp_path):
     """run_id selects which previous run's checkpoint to resume from
     (redesign of the reference's wandb.restore(run_id), train.py:92-100):

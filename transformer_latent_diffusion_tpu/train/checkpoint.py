@@ -58,10 +58,21 @@ class CheckpointManager:
             options=ocp.CheckpointManagerOptions(max_to_keep=3, create=True),
         )
 
-    def save(self, step: int, state: Dict[str, Any]) -> None:
+    def save(self, step: int, state: Dict[str, Any],
+             async_: bool = False) -> None:
+        """Save a checkpoint. async_=True returns after initiating the
+        save (orbax fetches device arrays in the background — on the
+        tunneled runtime a blocking device->host fetch of the ~1.6GB
+        train state costs tens of seconds). The CALLER must pass
+        non-donated arrays (e.g. an on-device jnp.copy of the state)
+        and call wait() before relying on the files."""
         self.manager.save(
             step, args=self._ocp.args.StandardSave(state), force=True
         )
+        if not async_:
+            self.manager.wait_until_finished()
+
+    def wait(self) -> None:
         self.manager.wait_until_finished()
 
     def restore(self, step: Optional[int] = None, template: Any = None):

@@ -446,7 +446,15 @@ def main(config: ModelConfig, init_params: Optional[Any] = None) -> Dict[str, An
                         wandb_run.log(
                             {f"step: {global_step}": wandb.Image(img_path)})
                 if train_config.save_model and ckpt_mgr is not None:
-                    ckpt_mgr.save(global_step, jax.device_get(state))
+                    # snapshot on device (cheap) and save asynchronously:
+                    # the train step donates `state`'s buffers, so orbax
+                    # must read from the copy, not the live tree; a
+                    # blocking device_get here would stall the loop for
+                    # tens of seconds on tunneled runtimes
+                    snapshot = jax.tree.map(
+                        lambda a: jnp.copy(a) if hasattr(a, "dtype") else a,
+                        state)
+                    ckpt_mgr.save(global_step, snapshot, async_=True)
 
             step_rng = jax.random.fold_in(rng, global_step)
             state, loss = train_step(state, x, y, step_rng)
