@@ -58,6 +58,32 @@ def test_param_sharding_skips_indivisible():
     assert sh["expand"]["kernel"].spec == P()
 
 
+def test_fsdp_param_shardings():
+    """fsdp=True shards each leaf's largest free axis over 'data'
+    (ZeRO-3); composes with the TP rules; indivisible axes replicate."""
+    mesh = create_mesh((8, 1))
+    params = {
+        "expand": {"kernel": jnp.zeros((128, 512))},
+        "norm": {"scale": jnp.zeros((128,))},
+        "odd": jnp.zeros((30,)),  # 30 % 8 != 0 -> replicated
+    }
+    sh = param_shardings(params, mesh, fsdp=True)
+    assert sh["expand"]["kernel"].spec == P(None, DATA_AXIS)
+    assert sh["norm"]["scale"].spec == P(DATA_AXIS)
+    assert sh["odd"].spec == P()
+
+    # composes with TP: the model-sharded axis stays, fsdp takes the
+    # largest remaining free axis
+    mesh_tp = create_mesh((2, 4))
+    tp_params = {"qkv_linear": {"kernel": jnp.zeros((128, 384))}}
+    sh_tp = param_shardings(tp_params, mesh_tp, fsdp=True)
+    assert sh_tp["qkv_linear"]["kernel"].spec == P(DATA_AXIS, MODEL_AXIS)
+
+    # fsdp off: unchanged behaviour
+    sh_off = param_shardings(params, mesh)
+    assert sh_off["expand"]["kernel"].spec == P()
+
+
 def test_batch_sharding_places_batch_on_data_axis():
     mesh = create_mesh((8, 1))
     x = jax.device_put(np.ones((16, 3)), batch_sharding(mesh))

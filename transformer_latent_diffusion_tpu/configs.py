@@ -166,6 +166,13 @@ class TrainConfig:
     # 1024px fine-tunes on a TP mesh). Mutually exclusive with the fused
     # Pallas kernels (which the TP gate already disables).
     sequence_parallel: Optional[bool] = None
+    # fully-sharded data parallelism (ZeRO-3): shard every param's
+    # largest axis (plus optimizer moments and EMA) over the mesh 'data'
+    # axis; GSPMD all-gathers params per layer and reduce-scatters
+    # grads. Trades ICI traffic for HBM — use when the train state
+    # doesn't fit replicated. Forces the XLA (non-Pallas) compute path,
+    # like TP (Pallas calls are not GSPMD-partitionable).
+    fsdp: bool = False
 
 
 @dataclass

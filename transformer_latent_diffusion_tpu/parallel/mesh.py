@@ -78,22 +78,41 @@ def _spec_for(path_str: str, ndim: int) -> P:
     return P()
 
 
-def param_shardings(params, mesh: Mesh):
-    """NamedShardings for a param tree: TP rules over 'model', else replicated."""
+def param_shardings(params, mesh: Mesh, *, fsdp: bool = False):
+    """NamedShardings for a param tree: TP rules over 'model', else replicated.
+
+    fsdp=True additionally shards each leaf's largest still-free axis
+    over 'data' (ZeRO-3 style fully-sharded parameters — no reference
+    equivalent; the reference's Accelerate/DDP replicates, train.py:109).
+    Optimizer moments and EMA placed with the same shardings give
+    ZeRO-1/2 for free; GSPMD inserts the all-gathers (params, forward)
+    and reduce-scatters (grads) over ICI. Axes that don't divide the
+    mesh stay replicated.
+    """
 
     def one(path, leaf):
         path_str = "/" + "/".join(
             str(getattr(k, "key", getattr(k, "idx", k))) for k in path
         )
-        if mesh.shape[MODEL_AXIS] == 1:
-            return NamedSharding(mesh, P())
-        spec = _spec_for(path_str, leaf.ndim)
-        # only shard if the dimension divides evenly
-        ok = all(
-            s is None or leaf.shape[i] % mesh.shape[MODEL_AXIS] == 0
-            for i, s in enumerate(spec)
-        )
-        return NamedSharding(mesh, spec if ok else P())
+        tp = mesh.shape[MODEL_AXIS]
+        spec = list(P()) if tp == 1 else list(_spec_for(path_str, leaf.ndim))
+        spec += [None] * (leaf.ndim - len(spec))
+        # only keep the TP spec if the dimension divides evenly
+        if not all(s is None or leaf.shape[i] % tp == 0
+                   for i, s in enumerate(spec)):
+            spec = [None] * leaf.ndim
+        dp = mesh.shape[DATA_AXIS]
+        if fsdp and dp > 1 and leaf.ndim >= 1:
+            # largest free axis that divides the data-axis size
+            free = [i for i, s in enumerate(spec)
+                    if s is None and leaf.shape[i] % dp == 0
+                    and leaf.shape[i] >= dp]
+            if free:
+                best = max(free, key=lambda i: leaf.shape[i])
+                spec[best] = DATA_AXIS
+        if all(s is None for s in spec):  # P(None, None) != P() as tuples
+            spec = []
+        return NamedSharding(mesh, P(*spec))
 
     return jax.tree_util.tree_map_with_path(one, params)
 

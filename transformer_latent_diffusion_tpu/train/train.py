@@ -120,17 +120,18 @@ def make_optimizer(train_cfg) -> optax.GradientTransformation:
 def resolve_fused_flags(train_cfg, on_tpu: bool):
     """Resolve the fused-Pallas-VJP flags (layer, mlp, attn).
 
-    None = auto (fused-layer on TPU). Tensor parallelism is a hard gate:
-    Pallas calls are not GSPMD-partitionable, so with a model axis > 1
-    the fused kernels would dispatch against model-sharded params —
-    forced OFF even when explicitly requested (the same reason
-    sampling/diffusion.py gates the fused inference engine off under a
-    mesh). Returns (fused_layer, fused_mlp, fused_attn).
+    None = auto (fused-layer on TPU). Tensor parallelism and FSDP are
+    hard gates: Pallas calls are not GSPMD-partitionable, so with a
+    model axis > 1 (or data-axis-sharded FSDP params) the fused kernels
+    would dispatch against sharded params — forced OFF even when
+    explicitly requested (the same reason sampling/diffusion.py gates
+    the fused inference engine off under a mesh). Returns
+    (fused_layer, fused_mlp, fused_attn).
     """
     tp = 1
     if train_cfg.mesh_shape is not None and len(train_cfg.mesh_shape) > 1:
         tp = int(train_cfg.mesh_shape[1])
-    if tp > 1:
+    if tp > 1 or train_cfg.fsdp:
         return False, False, False
     fused_layer = (train_cfg.fused_layer_vjp
                    if train_cfg.fused_layer_vjp is not None else on_tpu)
@@ -323,11 +324,15 @@ def main(config: ModelConfig, init_params: Optional[Any] = None) -> Dict[str, An
     # too, not just the fused VJP kernels. DP-only meshes are safe —
     # gradients run inside shard_map (per-device Pallas).
     model = Denoiser(**asdict(denoiser_config), dtype=compute_dtype,
-                     use_pallas=on_tpu and tp_size == 1, remat=remat,
+                     use_pallas=(on_tpu and tp_size == 1
+                                 and not train_config.fsdp),
+                     remat=remat,
                      fused_mlp_vjp=fused_mlp, fused_attn_vjp=fused_attn,
                      fused_layer_vjp=fused_layer, seq_mesh=seq_mesh)
+    # eval samples from the EMA params; under FSDP those are
+    # data-sharded, so the eval forward must stay on the XLA path too
     eval_model = Denoiser(**asdict(denoiser_config), dtype=compute_dtype,
-                          use_pallas=on_tpu)
+                          use_pallas=on_tpu and not train_config.fsdp)
 
     param_dtype = resolve_dtype(train_config.param_dtype)
     if init_params is not None:
@@ -378,13 +383,34 @@ def main(config: ModelConfig, init_params: Optional[Any] = None) -> Dict[str, An
             opt_state = restored["opt_state"]
             global_step = int(restored["step"])
 
-    # --- sharding: params by TP rules, batch over the data axis ---
-    p_shard = param_shardings(params, mesh)
+    # --- sharding: params by TP/FSDP rules, batch over the data axis ---
+    p_shard = param_shardings(params, mesh, fsdp=train_config.fsdp)
     rep = replicated(mesh)
     b_shard = batch_sharding(mesh)
     params = jax.device_put(params, p_shard)
     ema_params = jax.device_put(ema_params, p_shard)
-    opt_state = jax.device_put(opt_state, jax.tree.map(lambda x: rep, opt_state))
+    if train_config.fsdp and mesh.shape["data"] > 1:
+        # ZeRO-1/2: adam moments shard exactly like their params —
+        # jit-of-init propagates the input shardings to the outputs, so
+        # a fresh init is already placed; restored (host) moments are
+        # re-placed onto the same target shardings leaf-by-leaf
+        target = jax.jit(optimizer.init)(params)
+
+        def _place(t, r):
+            # adam mu/nu inherit the param shardings from jit-of-init;
+            # scalars (count) can come back committed to one device —
+            # those must be replicated over the whole mesh instead
+            sh = t.sharding
+            if len(sh.device_set) != mesh.size:
+                sh = rep
+            return jax.device_put(jnp.asarray(r), sh)
+
+        opt_state = jax.tree.map(_place, target, opt_state)
+        log(f"fsdp: params/moments/ema sharded over "
+            f"'data'={mesh.shape['data']}")
+    else:
+        opt_state = jax.device_put(
+            opt_state, jax.tree.map(lambda x: rep, opt_state))
     state = {
         "params": params,
         "ema_params": ema_params,
@@ -397,8 +423,10 @@ def main(config: ModelConfig, init_params: Optional[Any] = None) -> Dict[str, An
     # the gradient computation runs per-device on batch shards with a
     # psum over ICI (DDP semantics). Single chip / CPU / TP meshes keep
     # the GSPMD path.
+    # (FSDP shards params over 'data', so per-device shard_map compute
+    # would see partial weights — it must take the GSPMD path.)
     dp_shard_map = (on_tpu and mesh.shape["data"] > 1
-                    and mesh.shape["model"] == 1)
+                    and mesh.shape["model"] == 1 and not train_config.fsdp)
     train_step = _build_train_step(
         model, optimizer, train_config, config.vae_cfg.vae_scale_factor,
         mesh=mesh, dp_shard_map=dp_shard_map,
