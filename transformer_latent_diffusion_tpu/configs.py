@@ -166,6 +166,15 @@ class TrainConfig:
     # 1024px fine-tunes on a TP mesh). Mutually exclusive with the fused
     # Pallas kernels (which the TP gate already disables).
     sequence_parallel: Optional[bool] = None
+    # pipeline parallelism (GPipe, parallel/pipeline.py): run the
+    # decoder blocks as mesh-'model'-axis stages with microbatched
+    # activation passing over ICI (requires n_layers % model_axis == 0
+    # and dropout == 0). The 'model' axis then carries stages, so this
+    # replaces tensor parallelism on that axis. None/False = off.
+    pipeline_parallel: Optional[bool] = None
+    # GPipe microbatch count M (bubble fraction (S-1)/(M+S-1));
+    # None = 2 * stages
+    pipeline_microbatches: Optional[int] = None
     # fully-sharded data parallelism (ZeRO-3): shard every param's
     # largest axis (plus optimizer moments and EMA) over the mesh 'data'
     # axis; GSPMD all-gathers params per layer and reduce-scatters

@@ -7,3 +7,9 @@ from transformer_latent_diffusion_tpu.parallel.mesh import (  # noqa: F401
     param_shardings,
     replicated,
 )
+from transformer_latent_diffusion_tpu.parallel.pipeline import (  # noqa: F401
+    PipelinedDenoiser,
+    merge_block_params,
+    split_block_params,
+    stacked_block_shardings,
+)

@@ -78,8 +78,13 @@ def _spec_for(path_str: str, ndim: int) -> P:
     return P()
 
 
-def param_shardings(params, mesh: Mesh, *, fsdp: bool = False):
+def param_shardings(params, mesh: Mesh, *, fsdp: bool = False,
+                    tp: bool = True):
     """NamedShardings for a param tree: TP rules over 'model', else replicated.
+
+    tp=False skips the Megatron rules even on a model-axis>1 mesh — used
+    by pipeline parallelism, where the 'model' axis carries pipeline
+    stages instead of sharded matmuls.
 
     fsdp=True additionally shards each leaf's largest still-free axis
     over 'data' (ZeRO-3 style fully-sharded parameters — no reference
@@ -94,11 +99,12 @@ def param_shardings(params, mesh: Mesh, *, fsdp: bool = False):
         path_str = "/" + "/".join(
             str(getattr(k, "key", getattr(k, "idx", k))) for k in path
         )
-        tp = mesh.shape[MODEL_AXIS]
-        spec = list(P()) if tp == 1 else list(_spec_for(path_str, leaf.ndim))
+        tp_size = mesh.shape[MODEL_AXIS] if tp else 1
+        spec = (list(P()) if tp_size == 1
+                else list(_spec_for(path_str, leaf.ndim)))
         spec += [None] * (leaf.ndim - len(spec))
         # only keep the TP spec if the dimension divides evenly
-        if not all(s is None or leaf.shape[i] % tp == 0
+        if not all(s is None or leaf.shape[i] % tp_size == 0
                    for i, s in enumerate(spec)):
             spec = [None] * leaf.ndim
         dp = mesh.shape[DATA_AXIS]

@@ -145,7 +145,8 @@ def resolve_fused_flags(train_cfg, on_tpu: bool):
 
 
 def _build_train_step(model: Denoiser, optimizer, train_cfg, vae_scale_factor,
-                      mesh=None, dp_shard_map: bool = False):
+                      mesh=None, dp_shard_map: bool = False,
+                      pipeline_fn=None):
     """Build the jitted train step.
 
     dp_shard_map: compute gradients inside a `shard_map` over the mesh
@@ -174,11 +175,16 @@ def _build_train_step(model: Denoiser, optimizer, train_cfg, vae_scale_factor,
         keep = jax.random.uniform(r_drop, (n, 1)) >= 0.15
         label = y * keep
 
-        pred = model.apply(
-            {"params": params}, x_noisy, noise_level, label,
-            deterministic=model.dropout == 0,
-            rngs=None if model.dropout == 0 else {"dropout": r_dropout},
-        )
+        if pipeline_fn is not None:
+            # GPipe-pipelined forward (parallel/pipeline.py) — same
+            # math as model.apply, blocks staged over 'model'
+            pred = pipeline_fn(params, x_noisy, noise_level, label)
+        else:
+            pred = model.apply(
+                {"params": params}, x_noisy, noise_level, label,
+                deterministic=model.dropout == 0,
+                rngs=None if model.dropout == 0 else {"dropout": r_dropout},
+            )
         return jnp.mean((pred - x) ** 2)
 
     def grads_of(params, x, y, rng):
@@ -312,9 +318,17 @@ def main(config: ModelConfig, init_params: Optional[Any] = None) -> Dict[str, An
     remat = (train_config.remat if train_config.remat is not None
              else n_tokens >= 2048)
     tp_size = mesh.shape["model"]
-    seq_par = (train_config.sequence_parallel
-               if train_config.sequence_parallel is not None
-               else (tp_size > 1 and n_tokens >= 4096))
+    # pipeline parallelism claims the 'model' axis for stages — it
+    # replaces TP/sequence-parallel on that axis
+    pp_on = bool(train_config.pipeline_parallel) and tp_size > 1
+    if pp_on:
+        assert denoiser_config.n_layers % tp_size == 0, (
+            f"pipeline_parallel: n_layers {denoiser_config.n_layers} "
+            f"must divide into {tp_size} stages")
+    seq_par = (False if pp_on else
+               (train_config.sequence_parallel
+                if train_config.sequence_parallel is not None
+                else (tp_size > 1 and n_tokens >= 4096)))
     seq_mesh = None
     if seq_par and tp_size > 1 and n_tokens % tp_size == 0:
         seq_mesh = mesh
@@ -383,8 +397,25 @@ def main(config: ModelConfig, init_params: Optional[Any] = None) -> Dict[str, An
             opt_state = restored["opt_state"]
             global_step = int(restored["step"])
 
+    pipeline_fn = None
+    if pp_on:
+        from transformer_latent_diffusion_tpu.parallel.pipeline import (
+            PipelinedDenoiser,
+        )
+
+        pipeline_fn = PipelinedDenoiser(
+            denoiser_config, mesh,
+            n_microbatches=train_config.pipeline_microbatches,
+            dtype=compute_dtype)
+        log(f"pipeline parallelism: {tp_size} stages x "
+            f"{pipeline_fn.M} microbatches over 'model'")
+
     # --- sharding: params by TP/FSDP rules, batch over the data axis ---
-    p_shard = param_shardings(params, mesh, fsdp=train_config.fsdp)
+    # (under pipeline parallelism the 'model' axis carries stages, so
+    # the Megatron TP rules are skipped; the stacked per-stage block
+    # weights are constrained onto 'model' inside the pipeline itself)
+    p_shard = param_shardings(params, mesh, fsdp=train_config.fsdp,
+                              tp=not pp_on)
     rep = replicated(mesh)
     b_shard = batch_sharding(mesh)
     params = jax.device_put(params, p_shard)
@@ -429,7 +460,7 @@ def main(config: ModelConfig, init_params: Optional[Any] = None) -> Dict[str, An
                     and mesh.shape["model"] == 1 and not train_config.fsdp)
     train_step = _build_train_step(
         model, optimizer, train_config, config.vae_cfg.vae_scale_factor,
-        mesh=mesh, dp_shard_map=dp_shard_map,
+        mesh=mesh, dp_shard_map=dp_shard_map, pipeline_fn=pipeline_fn,
     )
     donate = (0,) if train_config.compile else ()
     train_step = jax.jit(train_step, donate_argnums=donate)
