@@ -69,6 +69,13 @@ class DenoiserConfig:
     text_emb_size: int = 768
     n_channels: int = 4
     mlp_multiplier: int = 4
+    # TPU additions — FFN selection: "sep_conv" (reference default,
+    # transformer_blocks.py:89-113), "mlp" (transformer_blocks.py:75-86),
+    # or "moe" (Switch-style expert-parallel MoE, models/moe.py; experts
+    # shard over the mesh 'model' axis)
+    mlp_class: str = "sep_conv"
+    n_experts: int = 8
+    expert_capacity_factor: float = 1.25
 
 
 @dataclass
@@ -182,6 +189,9 @@ class TrainConfig:
     # doesn't fit replicated. Forces the XLA (non-Pallas) compute path,
     # like TP (Pallas calls are not GSPMD-partitionable).
     fsdp: bool = False
+    # weight of the Switch load-balancing auxiliary loss, added to the
+    # MSE when DenoiserConfig.mlp_class == "moe" (models/moe.py)
+    moe_aux_weight: float = 0.01
 
 
 @dataclass

@@ -7,9 +7,11 @@ from transformer_latent_diffusion_tpu.models.blocks import (  # noqa: F401
     sinusoidal_embedding,
 )
 from transformer_latent_diffusion_tpu.models.denoiser import (  # noqa: F401
+    MLP_CLASSES,
     Denoiser,
     DenoiserTransBlock,
     patchify,
     resize_pos_embed,
     unpatchify,
 )
+from transformer_latent_diffusion_tpu.models.moe import MoEMLP  # noqa: F401

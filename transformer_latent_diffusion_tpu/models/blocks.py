@@ -247,6 +247,10 @@ class DecoderBlock(nn.Module):
     # sequence parallelism (see SelfAttention.seq_mesh). Mutually
     # exclusive with the fused Pallas kernels (not GSPMD-partitionable).
     seq_mesh: Any = None
+    # MoE knobs (only read when mlp_class is MoEMLP; see models/moe.py)
+    n_experts: int = 8
+    expert_capacity_factor: float = 1.25
+    ep_mesh: Any = None
 
     @nn.compact
     def __call__(self, x, y, deterministic: bool = True):
@@ -351,6 +355,10 @@ class DecoderBlock(nn.Module):
         mlp_kwargs = {}
         if self.mlp_class is MLPSepConv:
             mlp_kwargs["fused_vjp"] = use_mlp
+        elif self.mlp_class.__name__ == "MoEMLP":
+            mlp_kwargs.update(n_experts=self.n_experts,
+                              capacity_factor=self.expert_capacity_factor,
+                              ep_mesh=self.ep_mesh)
         x = x + self.mlp_class(
             self.embed_dim, self.mlp_multiplier, self.dropout_level,
             dtype=self.dtype, name="mlp", **mlp_kwargs,

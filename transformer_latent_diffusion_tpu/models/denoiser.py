@@ -20,11 +20,18 @@ from flax import linen as nn
 
 from transformer_latent_diffusion_tpu.models.blocks import (
     LN_EPS,
+    MLP,
     DecoderBlock,
     MLPSepConv,
     _gelu,
     sinusoidal_embedding,
 )
+from transformer_latent_diffusion_tpu.models.moe import MoEMLP
+
+# DenoiserConfig.mlp_class values -> FFN modules. "sep_conv" is the
+# reference default (transformer_blocks.py:89-113); "moe" is the
+# beyond-reference expert-parallel FFN (models/moe.py).
+MLP_CLASSES = {"sep_conv": MLPSepConv, "mlp": MLP, "moe": MoEMLP}
 
 
 def patchify(x: jax.Array, patch_size: int) -> jax.Array:
@@ -81,6 +88,11 @@ class DenoiserTransBlock(nn.Module):
     # mesh 'model' axis (parallel/sequence.py). Set via
     # TrainConfig.sequence_parallel; excludes the fused Pallas kernels.
     seq_mesh: Any = None
+    # FFN selection + MoE knobs (see MLP_CLASSES / models/moe.py)
+    mlp_class: str = "sep_conv"
+    n_experts: int = 8
+    expert_capacity_factor: float = 1.25
+    ep_mesh: Any = None
 
     @nn.compact
     def __call__(self, x, cond, deterministic: bool = True,
@@ -124,7 +136,10 @@ class DenoiserTransBlock(nn.Module):
                 embed_dim=self.embed_dim,
                 mlp_multiplier=self.mlp_multiplier,
                 dropout_level=self.dropout,
-                mlp_class=MLPSepConv,
+                mlp_class=MLP_CLASSES[self.mlp_class],
+                n_experts=self.n_experts,
+                expert_capacity_factor=self.expert_capacity_factor,
+                ep_mesh=self.ep_mesh,
                 use_pallas=self.use_pallas,
                 fused_mlp_vjp=self.fused_mlp_vjp,
                 fused_attn_vjp=self.fused_attn_vjp,
@@ -164,6 +179,11 @@ class Denoiser(nn.Module):
     remat: bool = False  # checkpoint each decoder block (hi-res training)
     dtype: jnp.dtype = jnp.float32
     seq_mesh: Any = None  # sequence-parallel attention mesh (see blocks.py)
+    # FFN selection + MoE knobs (see MLP_CLASSES / models/moe.py)
+    mlp_class: str = "sep_conv"
+    n_experts: int = 8
+    expert_capacity_factor: float = 1.25
+    ep_mesh: Any = None  # expert-parallel mesh (experts over 'model')
 
     @nn.compact
     def __call__(self, x, noise_level, label, deterministic: bool = True,
@@ -196,6 +216,10 @@ class Denoiser(nn.Module):
             fused_layer_vjp=self.fused_layer_vjp,
             remat=self.remat,
             seq_mesh=self.seq_mesh,
+            mlp_class=self.mlp_class,
+            n_experts=self.n_experts,
+            expert_capacity_factor=self.expert_capacity_factor,
+            ep_mesh=self.ep_mesh,
             dtype=self.dtype,
             name="denoiser_trans_block",
         )(x, cond, deterministic=deterministic,

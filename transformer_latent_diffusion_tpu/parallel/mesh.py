@@ -67,6 +67,12 @@ _ROW_SHARDED = ("contract", "attn_out_proj", "mlp_c_proj", "to_out")
 
 
 def _spec_for(path_str: str, ndim: int) -> P:
+    # expert parallelism: MoE stacked expert weights (models/moe.py) carry
+    # a leading (n_experts, ...) axis sharded over 'model'; the dispatched
+    # activations are constrained onto the same axis inside MoEMLP and
+    # GSPMD inserts the all-to-alls.
+    if path_str.endswith(("/wi", "/wo", "/bi", "/bo")) and "/mlp/" in path_str:
+        return P(MODEL_AXIS, *([None] * (ndim - 1)))
     if ndim < 2:
         return P()
     if any(f"/{n}/" in path_str or path_str.endswith(f"/{n}/kernel")

@@ -110,6 +110,8 @@ class PipelinedDenoiser:
         assert cfg.n_layers % self.S == 0, (
             f"n_layers {cfg.n_layers} must divide into {self.S} stages")
         assert getattr(cfg, "dropout", 0) == 0, "pipeline needs dropout=0"
+        assert getattr(cfg, "mlp_class", "sep_conv") == "sep_conv", (
+            "pipeline stages assume the dense sep_conv FFN")
         self.block = DecoderBlock(
             embed_dim=cfg.embed_dim, mlp_multiplier=cfg.mlp_multiplier,
             dropout_level=0.0, mlp_class=MLPSepConv, dtype=dtype)

@@ -93,7 +93,11 @@ class DiffusionTransformer:
         # only in the hybrid regime: at hw <= 16 inference runs the fused
         # engine, so compiling the fused-MLP kernel for the linen path
         # would waste a (slow, tunneled) startup compile for nothing
-        fused_mlp = bool(use_pallas and on_tpu and 16 < hw <= 32)
+        # non-default FFNs ("mlp"/"moe") have no fused-engine or
+        # fused-MLP kernels; flash attention (use_pallas) still applies
+        sep_conv = cfg.denoiser_cfg.mlp_class == "sep_conv"
+        fused_mlp = bool(use_pallas and on_tpu and 16 < hw <= 32
+                         and sep_conv)
         denoiser = Denoiser(
             **asdict(cfg.denoiser_cfg), use_pallas=use_pallas, dtype=dtype,
             fused_mlp_vjp=fused_mlp,
@@ -156,7 +160,7 @@ class DiffusionTransformer:
         )
 
         fast_apply = None
-        if use_pallas and jax.default_backend() not in ("cpu",):
+        if use_pallas and sep_conv and jax.default_backend() not in ("cpu",):
             from transformer_latent_diffusion_tpu.models.fast_denoiser import (
                 make_fused_apply,
             )

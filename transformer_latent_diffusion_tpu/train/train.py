@@ -179,6 +179,19 @@ def _build_train_step(model: Denoiser, optimizer, train_cfg, vae_scale_factor,
             # GPipe-pipelined forward (parallel/pipeline.py) — same
             # math as model.apply, blocks staged over 'model'
             pred = pipeline_fn(params, x_noisy, noise_level, label)
+        elif getattr(model, "mlp_class", "sep_conv") == "moe":
+            # MoE FFN sows its Switch load-balancing aux loss into the
+            # 'losses' collection (models/moe.py); add it to the MSE
+            pred, mut = model.apply(
+                {"params": params}, x_noisy, noise_level, label,
+                deterministic=model.dropout == 0,
+                rngs=None if model.dropout == 0 else {"dropout": r_dropout},
+                mutable=["losses"],
+            )
+            aux = sum(jnp.sum(jnp.asarray(v))
+                      for v in jax.tree.leaves(mut.get("losses", {})))
+            return (jnp.mean((pred - x) ** 2)
+                    + train_cfg.moe_aux_weight * aux)
         else:
             pred = model.apply(
                 {"params": params}, x_noisy, noise_level, label,
@@ -333,6 +346,16 @@ def main(config: ModelConfig, init_params: Optional[Any] = None) -> Dict[str, An
     if seq_par and tp_size > 1 and n_tokens % tp_size == 0:
         seq_mesh = mesh
         log(f"sequence parallelism: token dim sharded over 'model'={tp_size}")
+    # expert parallelism: MoE experts shard over the 'model' axis
+    # (models/moe.py; mutually exclusive with pipeline stages on it)
+    moe_on = denoiser_config.mlp_class == "moe"
+    if moe_on and pp_on:
+        raise ValueError("pipeline_parallel requires mlp_class='sep_conv' "
+                         "(the GPipe stages assume the dense FFN)")
+    ep_mesh = mesh if (moe_on and tp_size > 1) else None
+    if ep_mesh is not None:
+        log(f"expert parallelism: {denoiser_config.n_experts} experts "
+            f"over 'model'={tp_size}")
     # TP>1 trains via GSPMD, which cannot partition Pallas calls: the
     # flash-attention forward (use_pallas) must fall back to XLA there
     # too, not just the fused VJP kernels. DP-only meshes are safe —
@@ -340,12 +363,13 @@ def main(config: ModelConfig, init_params: Optional[Any] = None) -> Dict[str, An
     model = Denoiser(**asdict(denoiser_config), dtype=compute_dtype,
                      use_pallas=(on_tpu and tp_size == 1
                                  and not train_config.fsdp),
-                     remat=remat,
+                     remat=remat, ep_mesh=ep_mesh,
                      fused_mlp_vjp=fused_mlp, fused_attn_vjp=fused_attn,
                      fused_layer_vjp=fused_layer, seq_mesh=seq_mesh)
     # eval samples from the EMA params; under FSDP those are
     # data-sharded, so the eval forward must stay on the XLA path too
     eval_model = Denoiser(**asdict(denoiser_config), dtype=compute_dtype,
+                          ep_mesh=ep_mesh,
                           use_pallas=on_tpu and not train_config.fsdp)
 
     param_dtype = resolve_dtype(train_config.param_dtype)
