@@ -159,3 +159,17 @@ def test_moe_training(tmp_path):
     losses = r["losses"]
     assert all(np.isfinite(losses))
     assert np.mean(losses[-2:]) < np.mean(losses[:2])
+
+
+def test_moe_training_with_fsdp(tmp_path):
+    """EP over 'model' composes with ZeRO-3 over 'data' (both GSPMD)."""
+    from tests.test_training import _model_cfg
+    from transformer_latent_diffusion_tpu.train import main
+
+    moe_cfg = DenoiserConfig(image_size=8, embed_dim=64, n_layers=2,
+                             noise_embed_dims=64, mlp_class="moe",
+                             n_experts=4)
+    r = main(_model_cfg(tmp_path, denoiser=moe_cfg, img_size=8, n_epoch=1,
+                        mesh_shape=(2, 4), fsdp=True,
+                        compute_dtype="float32"))
+    assert all(np.isfinite(r["losses"]))

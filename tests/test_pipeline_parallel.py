@@ -117,3 +117,15 @@ def test_pipeline_rejects_bad_config():
         PipelinedDenoiser(
             DenoiserConfig(image_size=16, embed_dim=128, n_layers=3,
                            noise_embed_dims=64), mesh)  # 3 % 4 != 0
+
+
+def test_pipeline_rejects_fsdp(tmp_path):
+    """PP + ZeRO-3 is an unverified composition: must fail loudly, not
+    silently reshard."""
+    from tests.test_training import SMALL_DENOISER, _model_cfg
+    from transformer_latent_diffusion_tpu.train import main
+
+    cfg = _model_cfg(tmp_path, denoiser=SMALL_DENOISER, img_size=8,
+                     mesh_shape=(4, 2), pipeline_parallel=True, fsdp=True)
+    with pytest.raises(ValueError, match="does not compose"):
+        main(cfg)

@@ -192,6 +192,11 @@ class TrainConfig:
     # weight of the Switch load-balancing auxiliary loss, added to the
     # MSE when DenoiserConfig.mlp_class == "moe" (models/moe.py)
     moe_aux_weight: float = 0.01
+    # graceful preemption: on SIGTERM/SIGINT finish the current step,
+    # save a resumable checkpoint (if save_model) and return cleanly
+    # (train.GracefulShutdown; no reference equivalent — recovery there
+    # is manual wandb restore, train.py:92-100)
+    handle_signals: bool = True
 
 
 @dataclass

@@ -100,6 +100,45 @@ def eval_gen(diffuser: DiffusionGenerator, labels, img_size: int,
     return img
 
 
+class GracefulShutdown:
+    """SIGTERM/SIGINT -> finish the current step, checkpoint, exit cleanly.
+
+    TPU pods are routinely preempted; the reference's recovery story is
+    manual (re-run with wandb.restore, train.py:92-100). Here a
+    preemption signal sets a flag, the loop breaks at the next step
+    boundary, and the normal end-of-training save writes a resumable
+    checkpoint — `from_scratch=False` then continues from it. Previous
+    handlers are restored on exit; installing from a non-main thread is
+    a silent no-op (signal.signal raises there)."""
+
+    def __init__(self, enabled: bool = True):
+        self.requested = False
+        self.enabled = enabled
+        self._prev = {}
+
+    def __enter__(self):
+        if not self.enabled:
+            return self
+        import signal
+
+        def _handler(signum, frame):
+            self.requested = True
+
+        for sig in (signal.SIGTERM, signal.SIGINT):
+            try:
+                self._prev[sig] = signal.signal(sig, _handler)
+            except ValueError:  # not the main thread
+                pass
+        return self
+
+    def __exit__(self, *exc):
+        import signal
+
+        for sig, prev in self._prev.items():
+            signal.signal(sig, prev)
+        return False
+
+
 def make_optimizer(train_cfg) -> optax.GradientTransformation:
     """Adam, optionally with linear LR warmup to `train_cfg.lr`.
 
@@ -338,6 +377,13 @@ def main(config: ModelConfig, init_params: Optional[Any] = None) -> Dict[str, An
         assert denoiser_config.n_layers % tp_size == 0, (
             f"pipeline_parallel: n_layers {denoiser_config.n_layers} "
             f"must divide into {tp_size} stages")
+        if train_config.fsdp:
+            # ZeRO-3 'data'-sharded params entering the pipeline's
+            # shard_map (in_specs over 'model') is an unverified
+            # composition — refuse rather than risk silent resharding
+            raise ValueError("pipeline_parallel does not compose with "
+                             "fsdp; shard stages over 'model' and batch "
+                             "over 'data' instead")
     seq_par = (False if pp_on else
                (train_config.sequence_parallel
                 if train_config.sequence_parallel is not None
@@ -499,9 +545,15 @@ def main(config: ModelConfig, init_params: Optional[Any] = None) -> Dict[str, An
 
     timer = StepTimer()
     losses = []
+    shutdown = GracefulShutdown(enabled=train_config.handle_signals)
+    shutdown.__enter__()
     for epoch in range(1, train_config.n_epoch + 1):
+        if shutdown.requested:
+            break
         log(f"epoch: {epoch}")
         for x_host, y_host in batcher.epoch():
+            if shutdown.requested:
+                break
             x = jax.device_put(x_host, b_shard)
             y = jax.device_put(y_host, b_shard)
 
@@ -569,13 +621,20 @@ def main(config: ModelConfig, init_params: Optional[Any] = None) -> Dict[str, An
                         f"{timer.samples_per_sec(train_config.batch_size):.0f}"
                         " samples/s")
 
+    shutdown.__exit__()
+    if shutdown.requested:
+        log(f"preemption signal received: stopping at step {global_step}")
+
     if wandb_run is not None:
         wandb_run.finish()
 
     if train_config.save_model and ckpt_mgr is not None:
         ckpt_mgr.save(global_step, jax.device_get(state))
+        if shutdown.requested:
+            log(f"preemption checkpoint saved at step {global_step}")
 
     losses = [float(loss) for loss in losses]
     if losses:
         log(f"final loss {np.mean(losses[-10:]):.5f}")
-    return {"state": state, "losses": losses, "global_step": global_step}
+    return {"state": state, "losses": losses, "global_step": global_step,
+            "preempted": shutdown.requested}
