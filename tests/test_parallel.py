@@ -285,3 +285,42 @@ def test_sharded_generation_matches_single_device():
     _, got_tp = gen_tp.generate(**kw)
     np.testing.assert_allclose(np.asarray(got_tp), np.asarray(want),
                                atol=1e-4, rtol=1e-4)
+
+    # sequence-parallel generation: self-attention token dim sharded
+    # over 'model' (parallel/sequence.py) inside the sampling scan
+    sp_model = Denoiser(**asdict(cfg), seq_mesh=mesh_tp)
+    gen_sp = DiffusionGenerator(model=sp_model, params=params, vae=None,
+                                mesh=mesh_tp)
+    _, got_sp = gen_sp.generate(**kw)
+    np.testing.assert_allclose(np.asarray(got_sp), np.asarray(want),
+                               atol=1e-4, rtol=1e-4)
+
+
+def test_pipeline_sequence_parallel_generation():
+    """LTDConfig(mesh_shape, sequence_parallel=True) routes the public
+    text-to-image API through sequence-parallel sampling; pixels match
+    the single-device pipeline within float-scheduling tolerance."""
+    from transformer_latent_diffusion_tpu.configs import (
+        ClipConfig,
+        DenoiserConfig,
+        LTDConfig,
+        VaeConfig,
+    )
+    from transformer_latent_diffusion_tpu.sampling.pipeline import (
+        DiffusionTransformer,
+    )
+
+    def cfg(**kw):
+        return LTDConfig(
+            denoiser_cfg=DenoiserConfig(),
+            vae_cfg=VaeConfig(block_out_channels=(8, 16), layers_per_block=1),
+            clip_cfg=ClipConfig(width=64, heads=2, layers=2),
+            use_pallas=False, **kw)
+
+    want = DiffusionTransformer(cfg()).generate_image_from_text(
+        "a cute cat", num_imgs=4, seed=7, n_iter=4)
+    got = DiffusionTransformer(
+        cfg(mesh_shape=(2, 4), sequence_parallel=True),
+    ).generate_image_from_text("a cute cat", num_imgs=4, seed=7, n_iter=4)
+    a, b = np.asarray(want).astype(int), np.asarray(got).astype(int)
+    assert np.abs(a - b).max() <= 1

@@ -214,6 +214,11 @@ class LTDConfig:
     # beyond reference: shard generation batch-data-parallel over a
     # ('data','model') device mesh, e.g. (8, 1); None = single device
     mesh_shape: Optional[Tuple[int, int]] = None
+    # beyond reference: sequence-parallel self-attention during sampling
+    # (token dim over 'model'; parallel/sequence.py). None = auto: on
+    # when the mesh model axis > 1 and the model runs >= 4096 tokens
+    # (1024px), i.e. the regime where activations dwarf HBM per chip.
+    sequence_parallel: Optional[bool] = None
 
 
 @dataclass

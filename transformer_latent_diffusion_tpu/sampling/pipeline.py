@@ -98,9 +98,24 @@ class DiffusionTransformer:
         sep_conv = cfg.denoiser_cfg.mlp_class == "sep_conv"
         fused_mlp = bool(use_pallas and on_tpu and 16 < hw <= 32
                          and sep_conv)
+
+        mesh = None
+        if getattr(cfg, "mesh_shape", None) is not None:
+            from transformer_latent_diffusion_tpu.parallel import create_mesh
+
+            mesh = create_mesh(cfg.mesh_shape)
+        # sequence-parallel sampling (beyond reference): token dim over
+        # 'model' inside the scan; auto at >= 4096 tokens like training
+        n_tok = hw * hw
+        tp = mesh.shape["model"] if mesh is not None else 1
+        sp = (cfg.sequence_parallel if getattr(cfg, "sequence_parallel",
+                                               None) is not None
+              else (tp > 1 and n_tok >= 4096))
+        seq_mesh = mesh if (sp and tp > 1 and n_tok % tp == 0) else None
+
         denoiser = Denoiser(
             **asdict(cfg.denoiser_cfg), use_pallas=use_pallas, dtype=dtype,
-            fused_mlp_vjp=fused_mlp,
+            fused_mlp_vjp=fused_mlp, seq_mesh=seq_mesh,
         )
         params = init_denoiser_params(denoiser, cfg.denoiser_cfg)
 
@@ -167,12 +182,6 @@ class DiffusionTransformer:
 
             fast_apply = make_fused_apply(cfg.denoiser_cfg, compute_dtype=dtype,
                                           quantize=getattr(cfg, "quantize", None))
-
-        mesh = None
-        if getattr(cfg, "mesh_shape", None) is not None:
-            from transformer_latent_diffusion_tpu.parallel import create_mesh
-
-            mesh = create_mesh(cfg.mesh_shape)
 
         self.diffuser = DiffusionGenerator(
             model=denoiser, params=params, vae=self.vae, model_dtype=dtype,
