@@ -15,6 +15,7 @@ from transformer_latent_diffusion_tpu.configs import (
     DenoiserLoad,
     LTDConfig,
     VaeConfig,
+    reference_denoiser_kwargs,
 )
 
 try:
@@ -31,7 +32,7 @@ except Exception:  # pragma: no cover
 def test_diffusion_transformer_loads_torch_checkpoint(tmp_path):
     cfg_d = DenoiserConfig()
     torch.manual_seed(3)
-    tmodel = TorchDenoiser(**asdict(cfg_d))
+    tmodel = TorchDenoiser(**reference_denoiser_kwargs(cfg_d))
     ckpt = str(tmp_path / "weights.pth")
     torch.save(tmodel.state_dict(), ckpt)
 
@@ -64,7 +65,7 @@ def test_training_style_checkpoint_with_ema_key(tmp_path):
     from transformer_latent_diffusion_tpu.models import Denoiser
 
     cfg_d = DenoiserConfig()
-    tmodel = TorchDenoiser(**asdict(cfg_d))
+    tmodel = TorchDenoiser(**reference_denoiser_kwargs(cfg_d))
     ckpt = str(tmp_path / "full_state.pth")
     torch.save({"model_ema": tmodel.state_dict(), "opt_state": {},
                 "global_step": 7}, ckpt)

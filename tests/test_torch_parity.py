@@ -14,7 +14,10 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from transformer_latent_diffusion_tpu.configs import DenoiserConfig
+from transformer_latent_diffusion_tpu.configs import (
+    DenoiserConfig,
+    reference_denoiser_kwargs,
+)
 from transformer_latent_diffusion_tpu.models import Denoiser
 from transformer_latent_diffusion_tpu.models.torch_compat import (
     convert_torch_denoiser_state_dict,
@@ -39,7 +42,7 @@ requires_reference = pytest.mark.skipif(
 def test_denoiser_matches_torch_reference():
     cfg = DenoiserConfig()  # tiny default config
     torch.manual_seed(0)
-    tmodel = TorchDenoiser(**asdict(cfg))
+    tmodel = TorchDenoiser(**reference_denoiser_kwargs(cfg))
     tmodel.eval()
 
     params = convert_torch_denoiser_state_dict(tmodel.state_dict(), cfg)
@@ -78,7 +81,7 @@ def test_sampler_latents_match_torch_reference():
     """
     cfg = DenoiserConfig()
     torch.manual_seed(1)
-    tmodel = TorchDenoiser(**asdict(cfg))
+    tmodel = TorchDenoiser(**reference_denoiser_kwargs(cfg))
     tmodel.eval()
     params = convert_torch_denoiser_state_dict(tmodel.state_dict(), cfg)
     jmodel = Denoiser(**asdict(cfg))

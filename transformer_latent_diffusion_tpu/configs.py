@@ -236,6 +236,21 @@ class ModelConfig:
     clip_cfg: ClipConfig = field(default_factory=ClipConfig)
 
 
+# DenoiserConfig fields shared with the reference dataclass
+# (reference configs.py:21-31); everything else is a TPU addition.
+REFERENCE_DENOISER_FIELDS = (
+    "image_size", "noise_embed_dims", "patch_size", "embed_dim", "dropout",
+    "n_layers", "text_emb_size", "n_channels", "mlp_multiplier",
+)
+
+
+def reference_denoiser_kwargs(cfg: DenoiserConfig) -> dict:
+    """The reference-compatible subset of a DenoiserConfig — what can be
+    passed to the reference torch Denoiser (parity tests) or serialized
+    for reference interchange."""
+    return {k: getattr(cfg, k) for k in REFERENCE_DENOISER_FIELDS}
+
+
 def config_to_json(cfg) -> str:
     return json.dumps(asdict(cfg))
 
