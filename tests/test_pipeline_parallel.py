@@ -111,6 +111,58 @@ def test_pipeline_training(tmp_path):
                                rtol=1e-4, atol=1e-5)
 
 
+def test_pipeline_parallel_sampling(model_and_params):
+    """DiffusionGenerator(pipeline_fn=...): GPipe stages inside the
+    50-step sampling scan match the unsharded sampler exactly."""
+    from transformer_latent_diffusion_tpu.sampling import DiffusionGenerator
+
+    model, params = model_and_params
+    labels = jnp.asarray(
+        np.random.default_rng(3).standard_normal((8, CFG.text_emb_size)),
+        jnp.float32)
+    kw = dict(labels=labels, num_imgs=8, img_size=CFG.image_size, n_iter=4,
+              seed=5, sharp_f=0, bright_f=0, use_ddpm_plus=False)
+
+    _, want = DiffusionGenerator(model=model, params=params,
+                                 vae=None).generate(**kw)
+
+    mesh = create_mesh((2, 4))
+    pp = PipelinedDenoiser(CFG, mesh, n_microbatches=2)
+    _, got = DiffusionGenerator(model=model, params=params, vae=None,
+                                mesh=mesh, pipeline_fn=pp).generate(**kw)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-4, rtol=1e-4)
+
+
+def test_pipeline_parallel_public_api():
+    """LTDConfig(pipeline_parallel=True): text-to-image pixels match the
+    single-device pipeline within float-scheduling tolerance."""
+    from transformer_latent_diffusion_tpu.configs import (
+        ClipConfig,
+        LTDConfig,
+        VaeConfig,
+    )
+    from transformer_latent_diffusion_tpu.sampling.pipeline import (
+        DiffusionTransformer,
+    )
+
+    def cfg(**kw):
+        return LTDConfig(
+            denoiser_cfg=CFG,
+            vae_cfg=VaeConfig(block_out_channels=(8, 16), layers_per_block=1),
+            clip_cfg=ClipConfig(width=64, heads=2, layers=2),
+            use_pallas=False, **kw)
+
+    want = DiffusionTransformer(cfg()).generate_image_from_text(
+        "a pipeline", num_imgs=4, seed=7, n_iter=4)
+    got = DiffusionTransformer(
+        cfg(mesh_shape=(2, 4), pipeline_parallel=True,
+            pipeline_microbatches=2),
+    ).generate_image_from_text("a pipeline", num_imgs=4, seed=7, n_iter=4)
+    a, b = np.asarray(want).astype(int), np.asarray(got).astype(int)
+    assert np.abs(a - b).max() <= 1
+
+
 def test_pipeline_rejects_bad_config():
     mesh = create_mesh((2, 4))
     with pytest.raises(AssertionError):

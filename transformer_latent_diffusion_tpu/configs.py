@@ -219,6 +219,12 @@ class LTDConfig:
     # when the mesh model axis > 1 and the model runs >= 4096 tokens
     # (1024px), i.e. the regime where activations dwarf HBM per chip.
     sequence_parallel: Optional[bool] = None
+    # beyond reference: GPipe pipeline-parallel sampling — the denoiser
+    # runs as mesh-'model'-axis stages inside the sampling scan
+    # (parallel/pipeline.py; replaces TP/SP on that axis; requires
+    # n_layers % model_axis == 0)
+    pipeline_parallel: bool = False
+    pipeline_microbatches: Optional[int] = None
 
 
 @dataclass

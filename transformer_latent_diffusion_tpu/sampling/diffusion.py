@@ -80,6 +80,11 @@ class DiffusionGenerator:
     # over the 'data' axis (multi-chip serving, beyond reference). Uses
     # the XLA model path (pallas calls are not auto-partitionable).
     mesh: Any = None
+    # optional PipelinedDenoiser (parallel/pipeline.py): run the
+    # denoiser as GPipe stages over the mesh 'model' axis inside the
+    # sampling scan (requires mesh; replaces TP on that axis, so params
+    # are placed with the TP rules off)
+    pipeline_fn: Any = None
     # draw initial noise on the CPU backend: threefry BITS are
     # backend-invariant but the bits->normal float transform is not, so
     # serving enables this to make micro-batched results bit-equal to
@@ -102,6 +107,7 @@ class DiffusionGenerator:
         if self.mesh is not None and getattr(model, "use_pallas", False):
             model = model.clone(use_pallas=False)
         fast_apply = self.fast_apply
+        pipeline_fn = self.pipeline_fn
 
         def prepare(params):
             # weight packing for the fused engine runs once per generate,
@@ -139,6 +145,9 @@ class DiffusionGenerator:
                 x0 = fast_apply.apply_prepared(prepared, x2, noises, labels_cat)
             elif use_fast:
                 x0 = fast_apply(prepared, x2, noises, labels_cat)
+            elif pipeline_fn is not None:
+                # GPipe-staged forward over the mesh 'model' axis
+                x0 = pipeline_fn(prepared, x2, noises, labels_cat)
             else:
                 x0 = model.apply({"params": prepared}, x2, noises, labels_cat)
             return _cfg_combine(x0[:num], x0[num:], class_guidance)
@@ -301,8 +310,14 @@ class DiffusionGenerator:
             # (tensor-parallel generation; XLA inserts the all-reduces)
             # and degenerates to full replication on data-only meshes.
             if getattr(self, "_mesh_placed_params", None) is not self.params:
+                # under pipeline parallelism the 'model' axis carries
+                # stages, not sharded matmuls: skip the Megatron rules
+                # (the stacked stage weights are constrained inside
+                # PipelinedDenoiser itself)
                 self.params = jax.device_put(
-                    self.params, param_shardings(self.params, self.mesh))
+                    self.params, param_shardings(
+                        self.params, self.mesh,
+                        tp=self.pipeline_fn is None))
                 self._mesh_placed_params = self.params
 
         run = self._sample_fn(n_steps, tuple(x_t.shape), cache_interval)

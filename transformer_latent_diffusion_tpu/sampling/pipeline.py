@@ -108,10 +108,22 @@ class DiffusionTransformer:
         # 'model' inside the scan; auto at >= 4096 tokens like training
         n_tok = hw * hw
         tp = mesh.shape["model"] if mesh is not None else 1
-        sp = (cfg.sequence_parallel if getattr(cfg, "sequence_parallel",
-                                               None) is not None
-              else (tp > 1 and n_tok >= 4096))
+        pp = bool(getattr(cfg, "pipeline_parallel", False)) and tp > 1
+        sp = (False if pp else
+              (cfg.sequence_parallel if getattr(cfg, "sequence_parallel",
+                                                None) is not None
+               else (tp > 1 and n_tok >= 4096)))
         seq_mesh = mesh if (sp and tp > 1 and n_tok % tp == 0) else None
+        pipeline_fn = None
+        if pp:
+            from transformer_latent_diffusion_tpu.parallel.pipeline import (
+                PipelinedDenoiser,
+            )
+
+            pipeline_fn = PipelinedDenoiser(
+                cfg.denoiser_cfg, mesh,
+                n_microbatches=getattr(cfg, "pipeline_microbatches", None),
+                dtype=dtype)
 
         denoiser = Denoiser(
             **asdict(cfg.denoiser_cfg), use_pallas=use_pallas, dtype=dtype,
@@ -185,7 +197,7 @@ class DiffusionTransformer:
 
         self.diffuser = DiffusionGenerator(
             model=denoiser, params=params, vae=self.vae, model_dtype=dtype,
-            fast_apply=fast_apply, mesh=mesh,
+            fast_apply=fast_apply, mesh=mesh, pipeline_fn=pipeline_fn,
             # serving surface: CPU-drawn noise keeps micro-batched
             # results bit-equal to solo requests (see initialize_image)
             noise_on_host=True,
