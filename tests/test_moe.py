@@ -144,6 +144,28 @@ def test_expert_parallel_matches_unsharded(moe_denoiser):
                                atol=2e-5, rtol=1e-5)
 
 
+def test_expert_parallel_sampling(moe_denoiser):
+    """Mesh generation with MoE: experts sharded over 'model' match the
+    single-device sampler."""
+    from transformer_latent_diffusion_tpu.sampling import DiffusionGenerator
+
+    cfg, model, params = moe_denoiser
+    labels = jnp.asarray(
+        np.random.default_rng(5).standard_normal((8, cfg.text_emb_size)),
+        jnp.float32)
+    kw = dict(labels=labels, num_imgs=8, img_size=cfg.image_size, n_iter=4,
+              seed=5, sharp_f=0, bright_f=0, use_ddpm_plus=False)
+    _, want = DiffusionGenerator(model=model, params=params,
+                                 vae=None).generate(**kw)
+
+    mesh = create_mesh((2, 4))
+    ep_model = Denoiser(**asdict(cfg), ep_mesh=mesh)
+    _, got = DiffusionGenerator(model=ep_model, params=params, vae=None,
+                                mesh=mesh).generate(**kw)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-4, rtol=1e-4)
+
+
 def test_moe_training(tmp_path):
     """train.main end-to-end with mlp_class='moe' on a (2,4) mesh: the
     MSE+aux loss is finite and decreases."""

@@ -125,9 +125,14 @@ class DiffusionTransformer:
                 n_microbatches=getattr(cfg, "pipeline_microbatches", None),
                 dtype=dtype)
 
+        # expert parallelism at inference: MoE experts shard over the
+        # mesh 'model' axis (models/moe.py); param_shardings places the
+        # stacked expert weights there on the generate path
+        ep_mesh = (mesh if (cfg.denoiser_cfg.mlp_class == "moe" and tp > 1
+                            and not pp) else None)
         denoiser = Denoiser(
             **asdict(cfg.denoiser_cfg), use_pallas=use_pallas, dtype=dtype,
-            fused_mlp_vjp=fused_mlp, seq_mesh=seq_mesh,
+            fused_mlp_vjp=fused_mlp, seq_mesh=seq_mesh, ep_mesh=ep_mesh,
         )
         params = init_denoiser_params(denoiser, cfg.denoiser_cfg)
 
