@@ -7,6 +7,9 @@ from transformer_latent_diffusion_tpu.parallel.mesh import (  # noqa: F401
     param_shardings,
     replicated,
 )
+from transformer_latent_diffusion_tpu.parallel.launcher import (  # noqa: F401
+    launch,
+)
 from transformer_latent_diffusion_tpu.parallel.pipeline import (  # noqa: F401
     PipelinedDenoiser,
     merge_block_params,
