@@ -24,6 +24,25 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+def wait_for_backend(attempts: int = 4, delay: float = 150.0) -> str:
+    """Ride out transient tunnel outages: the axon backend occasionally
+    reports 'TPU backend setup/compile error (Unavailable)' for a few
+    minutes, and jax caches a failed platform init for the process
+    lifetime — clear_backends() resets that cache so a later attempt can
+    succeed (xla_bridge._clear_backends clears _backend_errors)."""
+    for i in range(attempts - 1):
+        try:
+            return jax.default_backend()
+        except RuntimeError as e:
+            log(f"backend init failed ({e}); retry {i + 1}/{attempts} "
+                f"in {delay:.0f}s")
+            from jax.extend.backend import clear_backends
+
+            clear_backends()
+            time.sleep(delay)
+    return jax.default_backend()
+
+
 def measure_peak_tflops(dtype=jnp.bfloat16, m: int = 8192, reps: int = 64):
     """Measured chip GEMM peak: chained 8192^3 bf16 matmuls.
 
@@ -93,7 +112,7 @@ def main():
     from transformer_latent_diffusion_tpu.sampling import DiffusionGenerator
     from transformer_latent_diffusion_tpu.utils import init_denoiser_params
 
-    backend = jax.default_backend()
+    backend = wait_for_backend()
     on_tpu = backend not in ("cpu",)
     log(f"backend={backend} devices={jax.devices()}")
 

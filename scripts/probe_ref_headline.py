@@ -27,7 +27,9 @@ from transformer_latent_diffusion_tpu.utils import init_denoiser_params  # noqa:
 
 
 def main():
-    on_tpu = jax.default_backend() not in ("cpu",)
+    from bench import wait_for_backend  # rides out transient tunnel outages
+
+    on_tpu = wait_for_backend() not in ("cpu",)
     print(f"backend={jax.default_backend()}")
     cfg = DenoiserConfig(
         image_size=32, noise_embed_dims=256, patch_size=2, embed_dim=768,
