@@ -260,12 +260,30 @@ class DiffusionGenerator:
         use_ddpm_plus: bool = True,
         cache_interval: int = 1,
         output: str = "float",
+        negative_labels=None,
+        init_latents=None,
+        strength: float = 1.0,
+        clamp_first: bool = True,
     ):
         """Generate images via reverse diffusion.
 
         Returns (decoded images (N,3,H,W) as a jnp array — or None if no
         VAE is attached — and the x0 latents (N,C,S,S)).
         Parity: reference DiffusionGenerator.generate (diffusion.py:29-92).
+
+        Beyond reference:
+        - negative_labels: embeddings for the CFG "uncond" half — guidance
+          steers away from them (the reference always uses the zero
+          vector, which stays the default).
+        - init_latents + strength: img2img. The schedule's first
+          (1-strength) fraction of steps is skipped and x_t starts from
+          the training-style corruption `sigma0*noise + (1-sigma0)*init`
+          (reference train.py:130) at the first remaining noise level.
+          strength=1 runs the full schedule (init still mixed at the
+          0.99 top level). init_latents are in sampler latent units
+          (i.e. VAE latents / scale_factor).
+        - clamp_first=False skips the reference's first-level 0.99 clamp
+          on an explicitly-passed noise_levels (internal/testing knob).
 
         cache_interval > 1 enables Delta-DiT-style block caching on the
         fused engine: the middle layer groups are recomputed only every
@@ -283,13 +301,30 @@ class DiffusionGenerator:
             noise_levels = make_noise_levels(n_iter, exponent)
         else:
             noise_levels = np.asarray(noise_levels, dtype=np.float64).copy()
-            noise_levels[0] = 0.99
+            if clamp_first:
+                noise_levels[0] = 0.99
+        if init_latents is not None:
+            if not 0.0 < strength <= 1.0:
+                raise ValueError(f"strength must be in (0, 1], got {strength}")
+            # skip the first (1-strength) fraction of the schedule, then
+            # start from the corruption the model was trained to invert
+            n_skip = min(int(round((1.0 - strength) * (len(noise_levels) - 1))),
+                         len(noise_levels) - 2)
+            noise_levels = noise_levels[n_skip:]
         c1, c2 = make_step_coeffs(noise_levels, use_ddpm_plus)
         n_steps = len(noise_levels) - 1
 
         x_t = self.initialize_image(seeds, num_imgs, img_size, seed)
+        if init_latents is not None:
+            sigma0 = float(noise_levels[0])
+            init = jnp.asarray(init_latents, dtype=jnp.float32)
+            x_t = sigma0 * x_t + (1.0 - sigma0) * init
         labels = jnp.asarray(labels, dtype=jnp.float32)
-        labels_cat = jnp.concatenate([labels, jnp.zeros_like(labels)], axis=0)
+        uncond = (jnp.zeros_like(labels) if negative_labels is None
+                  else jnp.broadcast_to(
+                      jnp.asarray(negative_labels, dtype=jnp.float32),
+                      labels.shape))
+        labels_cat = jnp.concatenate([labels, uncond], axis=0)
 
         if self.mesh is not None:
             # batch-data-parallel generation over the mesh 'data' axis;

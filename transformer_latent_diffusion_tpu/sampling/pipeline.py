@@ -217,15 +217,22 @@ class DiffusionTransformer:
         img_size=32,
         n_iter=15,
         cache_interval=1,
+        negative_prompt=None,
     ):
         """Prompt -> PIL image grid. Parity: reference diffusion.py:165-186
         (including: the latent size comes from the model's image_size; the
         img_size argument is accepted but unused, like the reference).
         cache_interval > 1 enables Delta-DiT block caching (beyond
-        reference; requires the fused engine)."""
+        reference; requires the fused engine). negative_prompt (beyond
+        reference) steers CFG away from its embedding instead of the
+        zero vector."""
         nrow = int(math.sqrt(num_imgs))
 
         labels = encode_text([prompt] * num_imgs, self.clip_model)
+        negative_labels = None
+        if negative_prompt is not None:
+            negative_labels = encode_text(
+                [negative_prompt] * num_imgs, self.clip_model)
         # output="uint8" quantizes on device (same math as the float
         # path + to_pil) so only H*W*3 bytes per image leave the chip
         out, _ = self.diffuser.generate(
@@ -241,5 +248,70 @@ class DiffusionTransformer:
             bright_f=0,
             cache_interval=cache_interval,
             output="uint8",
+            negative_labels=negative_labels,
+        )
+        return uint8_grid_to_pil(np.asarray(out), nrow=nrow, padding=4)
+
+    def image_to_image(
+        self,
+        image,
+        prompt: str,
+        strength: float = 0.5,
+        class_guidance=6,
+        seed=11,
+        num_imgs=1,
+        n_iter=15,
+        negative_prompt=None,
+    ):
+        """Image + prompt -> PIL image grid (img2img, beyond reference).
+
+        `image` is a PIL image or (H,W,3) / (B,H,W,3) uint8/float array;
+        it is VAE-encoded and re-noised to the schedule's `strength`
+        point, then denoised under the prompt (see
+        DiffusionGenerator.generate init_latents/strength). A single
+        input image with num_imgs > 1 yields num_imgs variations (same
+        init, different noise draws)."""
+        arr = np.asarray(image, dtype=np.float32)
+        if arr.ndim == 3:
+            arr = arr[None]
+        if arr.shape[-1] == 3:  # HWC -> CHW
+            arr = np.transpose(arr, (0, 3, 1, 2))
+        if arr.max() > 1.5:  # uint8 pixel range -> [-1, 1]
+            arr = arr / 127.5 - 1.0
+        scale_factor = 8.0
+        lat = self.vae.encode(arr) / scale_factor
+        want = self.diffuser.model.image_size
+        if lat.shape[-1] != want:
+            down = arr.shape[-1] // lat.shape[-1]  # this VAE's spatial factor
+            raise ValueError(
+                f"input image is {arr.shape[-1]}px -> latent "
+                f"{lat.shape[-1]}, but the model expects a {want} latent "
+                f"({want * down}px with this VAE); resize the image first")
+        if lat.shape[0] == 1 and num_imgs > 1:
+            pass  # (1,C,S,S) broadcasts against num_imgs noise draws
+        else:
+            num_imgs = int(lat.shape[0])
+        nrow = int(math.sqrt(num_imgs))
+
+        labels = encode_text([prompt] * num_imgs, self.clip_model)
+        negative_labels = None
+        if negative_prompt is not None:
+            negative_labels = encode_text(
+                [negative_prompt] * num_imgs, self.clip_model)
+        out, _ = self.diffuser.generate(
+            labels=labels,
+            num_imgs=num_imgs,
+            img_size=self.diffuser.model.image_size,
+            class_guidance=class_guidance,
+            seed=seed,
+            n_iter=n_iter,
+            exponent=1,
+            scale_factor=scale_factor,
+            sharp_f=0,
+            bright_f=0,
+            output="uint8",
+            negative_labels=negative_labels,
+            init_latents=lat,
+            strength=strength,
         )
         return uint8_grid_to_pil(np.asarray(out), nrow=nrow, padding=4)
