@@ -91,6 +91,19 @@ def test_generate_image_missing_prompt(client):
     assert r["status"] == 422
 
 
+def test_generate_image_with_negative_prompt(client):
+    """Beyond-reference field: negative_prompt steers CFG away from its
+    embedding; the route accepts it and returns a valid JPEG."""
+    token = os.getenv("API_TOKEN")
+    r = client.post_json(
+        "/generate-image/",
+        {"prompt": "a cute cat", "n_iter": 4, "negative_prompt": "blurry"},
+        headers={"Authorization": f"Bearer {token}"})
+    assert r["status"] == 200
+    img = PIL.Image.open(io.BytesIO(r["body"]))
+    assert img.format == "JPEG"
+
+
 def test_generate_image_with_acceleration_knobs(client):
     """Beyond-reference request fields: n_iter and cache_interval are
     accepted; on a non-fused deployment cache_interval falls back to

@@ -27,6 +27,10 @@ REQS = [
     dict(prompt="a cute cat", class_guidance=6, seed=11, num_imgs=1, n_iter=4),
     dict(prompt="a red car", class_guidance=2.5, seed=3, num_imgs=1, n_iter=4),
     dict(prompt="a blue bird", class_guidance=6, seed=11, num_imgs=4, n_iter=4),
+    # negative-prompt request must batch with the zero-uncond ones (the
+    # CFG uncond half is a per-image embedding in the batched call)
+    dict(prompt="a green tree", class_guidance=6, seed=7, num_imgs=1,
+         n_iter=4, negative_prompt="blurry"),
 ]
 
 
@@ -66,7 +70,7 @@ def test_microbatcher_coalesces_and_matches_solo():
         mb.close()
         tr.diffuser.generate = orig_generate
 
-    # 1+1+4 images pad to the 8-bucket and run as ONE device call
+    # 1+1+4+1 images pad to the 8-bucket and run as ONE device call
     assert calls == [8], calls
 
     for i, (img, ref) in enumerate(zip(results, solo)):

@@ -63,12 +63,14 @@ class GenerationService:
     def generate_jpeg(self, prompt: str, class_guidance: float = 6,
                       seed: int = 11, num_imgs: int = 1,
                       img_size: int = 32, n_iter: int = 15,
-                      cache_interval: int = 1) -> bytes:
+                      cache_interval: int = 1,
+                      negative_prompt: Optional[str] = None) -> bytes:
         if (self.batcher is not None and cache_interval == 1
                 and num_imgs <= self.batcher.max_batch):
             img = self.batcher.generate(
                 prompt=prompt, class_guidance=class_guidance, seed=seed,
                 num_imgs=num_imgs, img_size=img_size, n_iter=n_iter,
+                negative_prompt=negative_prompt,
                 timeout=self.request_timeout_s,
             )
         else:
@@ -76,6 +78,7 @@ class GenerationService:
                 prompt=prompt, class_guidance=class_guidance, seed=seed,
                 num_imgs=num_imgs, img_size=img_size, n_iter=n_iter,
                 cache_interval=cache_interval,
+                negative_prompt=negative_prompt,
             )
         buf = io.BytesIO()
         img.save(buf, format="JPEG")
@@ -84,10 +87,11 @@ class GenerationService:
 
 WELCOME = {"message": "Welcome to Image Generator"}
 # reference schema fields (app.py:35-41) plus beyond-reference knobs:
-# n_iter (sampling steps) and cache_interval (Delta-DiT block caching,
-# fused engine only)
+# n_iter (sampling steps), cache_interval (Delta-DiT block caching,
+# fused engine only) and negative_prompt (CFG away-embedding)
 REQUEST_DEFAULTS = {"class_guidance": 6, "seed": 11, "num_imgs": 1,
-                    "img_size": 32, "n_iter": 15, "cache_interval": 1}
+                    "img_size": 32, "n_iter": 15, "cache_interval": 1,
+                    "negative_prompt": None}
 
 
 def _check_token(auth_header: Optional[str]):
@@ -176,6 +180,7 @@ def create_fastapi_app(cfg: Optional[LTDConfig] = None, service=None):
         img_size: int = 32
         n_iter: int = 15
         cache_interval: int = 1
+        negative_prompt: Optional[str] = None
 
     @app.get("/")
     def read_root():
@@ -194,6 +199,7 @@ def create_fastapi_app(cfg: Optional[LTDConfig] = None, service=None):
                 seed=request.seed, num_imgs=request.num_imgs,
                 img_size=request.img_size, n_iter=request.n_iter,
                 cache_interval=request.cache_interval,
+                negative_prompt=request.negative_prompt,
             )
             return StreamingResponse(io.BytesIO(jpeg), media_type="image/jpeg")
         except Exception as e:

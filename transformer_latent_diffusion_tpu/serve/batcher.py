@@ -49,6 +49,7 @@ class _Request:
     seed: int
     num_imgs: int
     n_iter: int
+    negative_prompt: Optional[str] = None
     done: threading.Event = field(default_factory=threading.Event)
     cancelled: threading.Event = field(default_factory=threading.Event)
     result: Any = None
@@ -96,17 +97,20 @@ class MicroBatcher:
 
     def generate(self, prompt: str, class_guidance: float = 6,
                  seed: int = 11, num_imgs: int = 1, img_size: int = 32,
-                 n_iter: int = 15, timeout: Optional[float] = None):
+                 n_iter: int = 15, timeout: Optional[float] = None,
+                 negative_prompt: Optional[str] = None):
         """Blocking generate; returns the same PIL grid as
         `DiffusionTransformer.generate_image_from_text` (img_size is
-        accepted-but-unused exactly like the reference API)."""
+        accepted-but-unused exactly like the reference API). Requests
+        with and without negative prompts batch together: the CFG uncond
+        half is a per-image embedding (zeros when no negative prompt)."""
         num_imgs = int(num_imgs)
         if not 1 <= num_imgs <= self.max_batch:
             raise ValueError(
                 f"num_imgs={num_imgs} must be in [1, {self.max_batch}]")
         req = _Request(prompt=prompt, class_guidance=float(class_guidance),
                        seed=int(seed), num_imgs=num_imgs,
-                       n_iter=int(n_iter))
+                       n_iter=int(n_iter), negative_prompt=negative_prompt)
         with self._lock:
             if self._closed:
                 raise RuntimeError("MicroBatcher is closed")
@@ -209,6 +213,23 @@ class MicroBatcher:
         labels = np.asarray(tr.clip_model.encode_text(prompts),
                             dtype=np.float32)
 
+        # per-image CFG uncond embeddings: zeros unless the request set a
+        # negative prompt (encode the distinct negatives in one call)
+        negatives = None
+        neg_prompts = sorted({r.negative_prompt for r in reqs
+                              if r.negative_prompt is not None})
+        if neg_prompts:
+            neg_emb = np.asarray(tr.clip_model.encode_text(neg_prompts),
+                                 dtype=np.float32)
+            by_prompt = dict(zip(neg_prompts, neg_emb))
+            negatives = np.zeros_like(labels)
+            off = 0
+            for r in reqs:
+                if r.negative_prompt is not None:
+                    negatives[off:off + r.num_imgs] = by_prompt[
+                        r.negative_prompt]
+                off += r.num_imgs
+
         # per-request seeded noise — identical to the solo path's
         # initialize_image(seed) for the same (seed, num_imgs): jax's
         # threefry PRNG is bit-exact across backends, so draw on the CPU
@@ -243,6 +264,9 @@ class MicroBatcher:
             labels = np.concatenate([labels, np.repeat(labels[:1], pad, 0)])
             noises.append(np.repeat(noises[0][:1], pad, 0))
             guidance = np.concatenate([guidance, np.zeros((pad,), np.float32)])
+            if negatives is not None:
+                negatives = np.concatenate(
+                    [negatives, np.repeat(negatives[:1], pad, 0)])
         seeds = np.concatenate(noises, axis=0)
 
         out, _ = tr.diffuser.generate(
@@ -257,6 +281,8 @@ class MicroBatcher:
             sharp_f=0,
             bright_f=0,
             output="uint8",
+            negative_labels=(None if negatives is None
+                             else jnp.asarray(negatives)),
         )
         out = np.asarray(out)
 
