@@ -106,6 +106,46 @@ def test_img2img_rejects_bad_strength(gen):
                      strength=0.0)
 
 
+def test_inpaint_mask_ones_equals_img2img(gen):
+    labels = _labels()
+    init = jax.random.normal(jax.random.PRNGKey(7),
+                             (2, CFG.n_channels, CFG.image_size,
+                              CFG.image_size))
+    kw = dict(labels=labels, n_iter=4, num_imgs=2, seed=3,
+              img_size=CFG.image_size, sharp_f=0, bright_f=0,
+              init_latents=init, strength=0.8)
+    _, plain = gen.generate(**kw)
+    _, masked = gen.generate(mask=np.ones((1, 1, CFG.image_size,
+                                           CFG.image_size)), **kw)
+    np.testing.assert_allclose(np.asarray(masked), np.asarray(plain),
+                               atol=1e-6)
+
+
+def test_inpaint_keeps_unmasked_region_exactly(gen):
+    labels = _labels()
+    init = jax.random.normal(jax.random.PRNGKey(7),
+                             (2, CFG.n_channels, CFG.image_size,
+                              CFG.image_size))
+    s = CFG.image_size
+    mask = np.zeros((1, 1, s, s), np.float32)
+    mask[..., : s // 2, :] = 1.0  # regenerate top half only
+    _, out = gen.generate(labels=labels, n_iter=4, num_imgs=2, seed=3,
+                          img_size=s, sharp_f=0, bright_f=0,
+                          init_latents=init, mask=mask)
+    out = np.asarray(out)
+    np.testing.assert_array_equal(out[..., s // 2:, :],
+                                  np.asarray(init)[..., s // 2:, :])
+    assert not np.allclose(out[..., : s // 2, :],
+                           np.asarray(init)[..., : s // 2, :])
+
+
+def test_inpaint_requires_init(gen):
+    with pytest.raises(ValueError, match="mask requires init_latents"):
+        gen.generate(labels=_labels(), n_iter=4, num_imgs=2,
+                     img_size=CFG.image_size,
+                     mask=np.ones((1, 1, CFG.image_size, CFG.image_size)))
+
+
 def test_pipeline_image_to_image_and_negative_prompt():
     cfg = LTDConfig(
         denoiser_cfg=CFG,
@@ -136,3 +176,11 @@ def test_pipeline_image_to_image_and_negative_prompt():
     wrong = np.zeros((px * 2, px * 2, 3), dtype=np.uint8)
     with pytest.raises(ValueError, match="resize"):
         pipe.image_to_image(wrong, "x", n_iter=4)
+
+    # inpaint: image-space mask max-pools to the latent grid
+    mask = np.zeros((px, px), dtype=np.uint8)
+    mask[: px // 2] = 255
+    out = pipe.inpaint(src, mask, "a cute cat", n_iter=4, seed=5)
+    assert out.size == (px + 8, px + 8)
+    again = pipe.inpaint(src, mask, "a cute cat", n_iter=4, seed=5)
+    assert np.array_equal(np.asarray(out), np.asarray(again))

@@ -94,9 +94,9 @@ class DiffusionGenerator:
     _compiled: Dict[Any, Any] = field(default_factory=dict, repr=False)
 
     def _sample_fn(self, n_steps: int, shape: Tuple[int, ...],
-                   cache_interval: int = 1):
+                   cache_interval: int = 1, masked: bool = False):
         """Build (and cache) the jitted scan for a given step-count/shape."""
-        key = (n_steps, shape, cache_interval)
+        key = (n_steps, shape, cache_interval, masked)
         if key in self._compiled:
             return self._compiled[key]
 
@@ -219,8 +219,35 @@ class DiffusionGenerator:
             x0 = pred_x0(prepared, x_t, labels_cat, noise_levels[-1], class_guidance)
             return x0
 
-        self._compiled[key] = run
-        return run
+        @jax.jit
+        def run_masked(params, x_init, labels_cat, noise_levels, c1, c2,
+                       class_guidance, mask, init, eps):
+            """Inpainting scan: after each update the keep region (mask=0)
+            is pinned back onto the forward-corruption trajectory
+            `sigma*eps + (1-sigma)*init` of the original latent at the
+            step's target noise level, so the model only ever sees a
+            consistent keep region while it fills the mask=1 region."""
+            prepared = prepare(params)
+
+            def step(carry, inputs):
+                x_t, x0_prev = carry
+                curr, nxt, a, b = inputs
+                x0 = pred_x0(prepared, x_t, labels_cat, curr, class_guidance)
+                d = a * x0 + b * x0_prev
+                x_t = ((curr - nxt) * d + nxt * x_t) / curr
+                x_keep = nxt * eps + (1.0 - nxt) * init
+                x_t = mask * x_t + (1.0 - mask) * x_keep
+                return (x_t, x0), None
+
+            xs = (noise_levels[:-1], noise_levels[1:], c1, c2)
+            (x_t, _), _ = jax.lax.scan(
+                step, (x_init, jnp.zeros_like(x_init)), xs, length=n_steps)
+            x0 = pred_x0(prepared, x_t, labels_cat, noise_levels[-1],
+                         class_guidance)
+            return mask * x0 + (1.0 - mask) * init
+
+        self._compiled[key] = run_masked if masked else run
+        return self._compiled[key]
 
     def initialize_image(self, seeds, num_imgs, img_size, seed):
         """Seeded gaussian init. Parity: reference diffusion.py:105-120."""
@@ -263,6 +290,7 @@ class DiffusionGenerator:
         negative_labels=None,
         init_latents=None,
         strength: float = 1.0,
+        mask=None,
         clamp_first: bool = True,
     ):
         """Generate images via reverse diffusion.
@@ -282,6 +310,11 @@ class DiffusionGenerator:
           strength=1 runs the full schedule (init still mixed at the
           0.99 top level). init_latents are in sampler latent units
           (i.e. VAE latents / scale_factor).
+        - mask (requires init_latents): inpainting. Latent-space mask
+          broadcastable to the latent shape, 1 = generate, 0 = keep;
+          after every step the keep region is pinned to the original
+          latent's forward-corruption trajectory (same fixed noise draw
+          as the start), and the final output keeps it exactly.
         - clamp_first=False skips the reference's first-level 0.99 clamp
           on an explicitly-passed noise_levels (internal/testing knob).
 
@@ -314,11 +347,15 @@ class DiffusionGenerator:
         c1, c2 = make_step_coeffs(noise_levels, use_ddpm_plus)
         n_steps = len(noise_levels) - 1
 
-        x_t = self.initialize_image(seeds, num_imgs, img_size, seed)
+        if mask is not None and init_latents is None:
+            raise ValueError("mask requires init_latents (inpainting is "
+                             "masked img2img)")
+        noise = self.initialize_image(seeds, num_imgs, img_size, seed)
+        x_t = noise
         if init_latents is not None:
             sigma0 = float(noise_levels[0])
             init = jnp.asarray(init_latents, dtype=jnp.float32)
-            x_t = sigma0 * x_t + (1.0 - sigma0) * init
+            x_t = sigma0 * noise + (1.0 - sigma0) * init
         labels = jnp.asarray(labels, dtype=jnp.float32)
         uncond = (jnp.zeros_like(labels) if negative_labels is None
                   else jnp.broadcast_to(
@@ -355,8 +392,11 @@ class DiffusionGenerator:
                         tp=self.pipeline_fn is None))
                 self._mesh_placed_params = self.params
 
-        run = self._sample_fn(n_steps, tuple(x_t.shape), cache_interval)
-        x0 = run(
+        if mask is not None:
+            cache_interval = 1  # block caching not composed with inpainting
+        run = self._sample_fn(n_steps, tuple(x_t.shape), cache_interval,
+                              masked=mask is not None)
+        args = (
             self.params,
             x_t,
             labels_cat,
@@ -365,6 +405,10 @@ class DiffusionGenerator:
             jnp.asarray(c2, dtype=jnp.float32),
             jnp.asarray(class_guidance, dtype=jnp.float32),
         )
+        if mask is not None:
+            m = jnp.asarray(mask, dtype=jnp.float32)
+            args += (m, init, noise)
+        x0 = run(*args)
 
         # latent "editing": sharpness / brightness channel shifts
         # (reference diffusion.py:87-89)

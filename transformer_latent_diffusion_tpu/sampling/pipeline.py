@@ -315,3 +315,84 @@ class DiffusionTransformer:
             strength=strength,
         )
         return uint8_grid_to_pil(np.asarray(out), nrow=nrow, padding=4)
+
+    def inpaint(
+        self,
+        image,
+        mask,
+        prompt: str,
+        strength: float = 1.0,
+        class_guidance=6,
+        seed=11,
+        num_imgs=1,
+        n_iter=15,
+        negative_prompt=None,
+    ):
+        """Regenerate the masked region of `image` under `prompt`
+        (inpainting, beyond reference).
+
+        `mask` is a PIL image or (H,W) array in image space — nonzero =
+        regenerate, zero = keep. It is max-pooled to the latent grid
+        (any touched latent cell regenerates; latent cells couple ~8px
+        of pixels, so masks are latent-resolution). strength < 1
+        additionally limits how far the masked region departs (img2img
+        semantics inside the mask)."""
+        arr = np.asarray(image, dtype=np.float32)
+        if arr.ndim == 3:
+            arr = arr[None]
+        if arr.shape[-1] == 3:
+            arr = np.transpose(arr, (0, 3, 1, 2))
+        if arr.max() > 1.5:
+            arr = arr / 127.5 - 1.0
+        scale_factor = 8.0
+        lat = self.vae.encode(arr) / scale_factor
+        want = self.diffuser.model.image_size
+        if lat.shape[-1] != want:
+            down = arr.shape[-1] // lat.shape[-1]
+            raise ValueError(
+                f"input image is {arr.shape[-1]}px -> latent "
+                f"{lat.shape[-1]}, but the model expects a {want} latent "
+                f"({want * down}px with this VAE); resize the image first")
+
+        m = np.asarray(mask, dtype=np.float32)
+        if m.ndim == 3:  # RGB(A) mask -> single channel
+            m = m.max(axis=-1)
+        m = (m > 0).astype(np.float32)
+        down = m.shape[-1] // want
+        if down < 1 or m.shape[-1] != want * down or m.shape[-2] != want * down:
+            raise ValueError(
+                f"mask is {m.shape[-2]}x{m.shape[-1]}; expected a square "
+                f"multiple of the {want}-wide latent grid")
+        # max-pool to the latent grid: regenerate any touched cell
+        m = m.reshape(want, down, want, down).max(axis=(1, 3))
+        m = m[None, None]  # (1,1,S,S) broadcasts over batch+channels
+
+        if lat.shape[0] == 1 and num_imgs > 1:
+            pass
+        else:
+            num_imgs = int(lat.shape[0])
+        nrow = int(math.sqrt(num_imgs))
+
+        labels = encode_text([prompt] * num_imgs, self.clip_model)
+        negative_labels = None
+        if negative_prompt is not None:
+            negative_labels = encode_text(
+                [negative_prompt] * num_imgs, self.clip_model)
+        out, _ = self.diffuser.generate(
+            labels=labels,
+            num_imgs=num_imgs,
+            img_size=want,
+            class_guidance=class_guidance,
+            seed=seed,
+            n_iter=n_iter,
+            exponent=1,
+            scale_factor=scale_factor,
+            sharp_f=0,
+            bright_f=0,
+            output="uint8",
+            negative_labels=negative_labels,
+            init_latents=lat,
+            strength=strength,
+            mask=m,
+        )
+        return uint8_grid_to_pil(np.asarray(out), nrow=nrow, padding=4)
