@@ -16,7 +16,8 @@ import os
 from io import BytesIO
 
 
-def generate_image_from_text(prompt: str, class_guidance: float = 6):
+def generate_image_from_text(prompt: str, class_guidance: float = 6,
+                             negative_prompt: str = ""):
     import requests
     from PIL import Image
 
@@ -25,6 +26,8 @@ def generate_image_from_text(prompt: str, class_guidance: float = 6):
     headers = {"Authorization": f"Bearer {token_id}"}
     data = {"prompt": prompt, "class_guidance": class_guidance,
             "seed": 11, "num_imgs": 1, "img_size": 32}
+    if negative_prompt.strip():
+        data["negative_prompt"] = negative_prompt
 
     response = requests.post(url, json=data, headers=headers)
     if response.status_code == 200:
@@ -38,7 +41,8 @@ def build_interface():
 
     return gr.Interface(
         fn=generate_image_from_text,
-        inputs=["text", "slider"],
+        inputs=["text", "slider",
+                gr.Textbox(label="Negative prompt (optional)")],
         outputs="image",
         title="Text-to-Image Generator",
         description="Enter a text prompt to generate an image.",
