@@ -146,6 +146,34 @@ def test_inpaint_requires_init(gen):
                      mask=np.ones((1, 1, CFG.image_size, CFG.image_size)))
 
 
+def test_img2img_and_inpaint_compose_with_mesh(gen):
+    """Mesh-sharded (batch-DP GSPMD) generation supports init_latents,
+    strength, mask and negative_labels like the single-device path."""
+    from transformer_latent_diffusion_tpu.parallel import create_mesh
+
+    labels = _labels(8)
+    init = jax.random.normal(jax.random.PRNGKey(7),
+                             (8, CFG.n_channels, CFG.image_size,
+                              CFG.image_size))
+    s = CFG.image_size
+    mask = np.zeros((1, 1, s, s), np.float32)
+    mask[..., : s // 2, :] = 1.0
+    neg = np.asarray(_labels(8, seed=5))
+    kw = dict(labels=labels, n_iter=4, num_imgs=8, seed=3, img_size=s,
+              sharp_f=0, bright_f=0, init_latents=init, strength=0.8,
+              mask=mask, negative_labels=neg)
+    _, want = gen.generate(**kw)
+
+    from transformer_latent_diffusion_tpu.models import Denoiser
+
+    sharded = DiffusionGenerator(
+        model=Denoiser(**CFG.__dict__), params=gen.params, vae=None,
+        mesh=create_mesh())
+    _, got = sharded.generate(**kw)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-4, rtol=1e-4)
+
+
 def test_pipeline_image_to_image_and_negative_prompt():
     cfg = LTDConfig(
         denoiser_cfg=CFG,
