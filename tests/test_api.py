@@ -104,6 +104,50 @@ def test_generate_image_with_negative_prompt(client):
     assert img.format == "JPEG"
 
 
+def test_generate_image_img2img_and_inpaint(client):
+    """Beyond-reference fields: base64 init_image (img2img) and mask
+    (inpainting) produce valid JPEGs through the same route."""
+    import base64
+
+    import numpy as np
+
+    token = os.getenv("API_TOKEN")
+    px = 32  # tiny 2-block test VAE downsamples by 2; 16-latent model
+    rng = np.random.default_rng(0)
+    src = PIL.Image.fromarray(
+        rng.integers(0, 255, size=(px, px, 3), dtype=np.uint8))
+    buf = io.BytesIO()
+    src.save(buf, format="PNG")
+    b64 = base64.b64encode(buf.getvalue()).decode()
+
+    r = client.post_json(
+        "/generate-image/",
+        {"prompt": "an oil painting", "n_iter": 4, "init_image": b64,
+         "strength": 0.5},
+        headers={"Authorization": f"Bearer {token}"})
+    assert r["status"] == 200, r["body"]
+    assert PIL.Image.open(io.BytesIO(r["body"])).format == "JPEG"
+
+    mask = np.zeros((px, px), dtype=np.uint8)
+    mask[: px // 2] = 255
+    mbuf = io.BytesIO()
+    PIL.Image.fromarray(mask).save(mbuf, format="PNG")
+    r = client.post_json(
+        "/generate-image/",
+        {"prompt": "a castle", "n_iter": 4, "init_image": b64,
+         "mask": base64.b64encode(mbuf.getvalue()).decode()},
+        headers={"Authorization": f"Bearer {token}"})
+    assert r["status"] == 200, r["body"]
+    assert PIL.Image.open(io.BytesIO(r["body"])).format == "JPEG"
+
+    # broken base64 -> 500 with detail (same contract as other errors)
+    r = client.post_json(
+        "/generate-image/",
+        {"prompt": "x", "init_image": "not-base64!"},
+        headers={"Authorization": f"Bearer {token}"})
+    assert r["status"] == 500
+
+
 def test_generate_image_with_acceleration_knobs(client):
     """Beyond-reference request fields: n_iter and cache_interval are
     accepted; on a non-fused deployment cache_interval falls back to

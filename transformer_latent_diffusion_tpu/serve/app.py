@@ -5,6 +5,8 @@ Capability parity with the reference FastAPI service
 with bearer-token auth against the API_TOKEN env var, request schema
 {prompt, class_guidance=6, seed=11, num_imgs=1, img_size=32}, JPEG
 streaming response, 401 on bad token, 500 with detail on generation error.
+Beyond-reference request fields: n_iter, cache_interval, negative_prompt,
+and init_image/mask/strength (base64 payloads for img2img + inpainting).
 
 Two frontends over one core handler:
   * `create_fastapi_app` — used when fastapi is installed (same routes /
@@ -64,8 +66,39 @@ class GenerationService:
                       seed: int = 11, num_imgs: int = 1,
                       img_size: int = 32, n_iter: int = 15,
                       cache_interval: int = 1,
-                      negative_prompt: Optional[str] = None) -> bytes:
-        if (self.batcher is not None and cache_interval == 1
+                      negative_prompt: Optional[str] = None,
+                      init_image: Optional[str] = None,
+                      mask: Optional[str] = None,
+                      strength: Optional[float] = None) -> bytes:
+        if init_image is not None:
+            # img2img / inpainting (base64-encoded PNG/JPEG payloads);
+            # bypasses the batcher — per-request init latents don't
+            # coalesce
+            import base64
+
+            import PIL.Image
+
+            src = PIL.Image.open(
+                io.BytesIO(base64.b64decode(init_image))).convert("RGB")
+            if strength is None:  # inpaint regenerates fully by default
+                strength = 1.0 if mask is not None else 0.5
+            if mask is not None:
+                m = PIL.Image.open(
+                    io.BytesIO(base64.b64decode(mask))).convert("L")
+                img = self.transformer.inpaint(
+                    src, m, prompt, strength=strength,
+                    class_guidance=class_guidance, seed=seed,
+                    num_imgs=num_imgs, n_iter=n_iter,
+                    negative_prompt=negative_prompt,
+                )
+            else:
+                img = self.transformer.image_to_image(
+                    src, prompt, strength=strength,
+                    class_guidance=class_guidance, seed=seed,
+                    num_imgs=num_imgs, n_iter=n_iter,
+                    negative_prompt=negative_prompt,
+                )
+        elif (self.batcher is not None and cache_interval == 1
                 and num_imgs <= self.batcher.max_batch):
             img = self.batcher.generate(
                 prompt=prompt, class_guidance=class_guidance, seed=seed,
@@ -91,7 +124,8 @@ WELCOME = {"message": "Welcome to Image Generator"}
 # fused engine only) and negative_prompt (CFG away-embedding)
 REQUEST_DEFAULTS = {"class_guidance": 6, "seed": 11, "num_imgs": 1,
                     "img_size": 32, "n_iter": 15, "cache_interval": 1,
-                    "negative_prompt": None}
+                    "negative_prompt": None, "init_image": None,
+                    "mask": None, "strength": None}
 
 
 def _check_token(auth_header: Optional[str]):
@@ -181,6 +215,10 @@ def create_fastapi_app(cfg: Optional[LTDConfig] = None, service=None):
         n_iter: int = 15
         cache_interval: int = 1
         negative_prompt: Optional[str] = None
+        # img2img / inpainting: base64 PNG/JPEG payloads
+        init_image: Optional[str] = None
+        mask: Optional[str] = None
+        strength: Optional[float] = None
 
     @app.get("/")
     def read_root():
@@ -200,6 +238,8 @@ def create_fastapi_app(cfg: Optional[LTDConfig] = None, service=None):
                 img_size=request.img_size, n_iter=request.n_iter,
                 cache_interval=request.cache_interval,
                 negative_prompt=request.negative_prompt,
+                init_image=request.init_image, mask=request.mask,
+                strength=request.strength,
             )
             return StreamingResponse(io.BytesIO(jpeg), media_type="image/jpeg")
         except Exception as e:
