@@ -212,3 +212,8 @@ def test_pipeline_image_to_image_and_negative_prompt():
     assert out.size == (px + 8, px + 8)
     again = pipe.inpaint(src, mask, "a cute cat", n_iter=4, seed=5)
     assert np.array_equal(np.asarray(out), np.asarray(again))
+
+    # distinct prompts per image in one call
+    multi = pipe.generate_image_from_text(
+        ["a cute cat", "a red car", "a tree", "a boat"], n_iter=4, seed=5)
+    assert multi.size == (2 * px + 12, 2 * px + 12)  # 2x2 grid

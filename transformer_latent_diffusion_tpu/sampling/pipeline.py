@@ -225,10 +225,17 @@ class DiffusionTransformer:
         cache_interval > 1 enables Delta-DiT block caching (beyond
         reference; requires the fused engine). negative_prompt (beyond
         reference) steers CFG away from its embedding instead of the
-        zero vector."""
+        zero vector. prompt may be a list of distinct prompts (beyond
+        reference): one image per prompt in a single scan call,
+        overriding num_imgs."""
+        if isinstance(prompt, (list, tuple)):
+            prompts = list(prompt)
+            num_imgs = len(prompts)
+        else:
+            prompts = [prompt] * num_imgs
         nrow = int(math.sqrt(num_imgs))
 
-        labels = encode_text([prompt] * num_imgs, self.clip_model)
+        labels = encode_text(prompts, self.clip_model)
         negative_labels = None
         if negative_prompt is not None:
             negative_labels = encode_text(
