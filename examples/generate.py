@@ -38,6 +38,14 @@ def main():
                     help="CLIP BPE vocab (bpe_simple_vocab_16e6.txt.gz)")
     ap.add_argument("--tiny", action="store_true",
                     help="tiny towers (CPU-friendly smoke test)")
+    ap.add_argument("--negative-prompt", default=None,
+                    help="CFG steers away from this instead of the zero vector")
+    ap.add_argument("--init-image", default=None,
+                    help="img2img: start from this image (PNG/JPEG path)")
+    ap.add_argument("--mask", default=None,
+                    help="inpainting: white = regenerate (requires --init-image)")
+    ap.add_argument("--strength", type=float, default=None,
+                    help="img2img departure, (0,1]; default 0.5 (1.0 with --mask)")
     args = ap.parse_args()
 
     from transformer_latent_diffusion_tpu.configs import (
@@ -62,9 +70,30 @@ def main():
         )
 
     dt = DiffusionTransformer(cfg)
-    img = dt.generate_image_from_text(
-        prompt=args.prompt, class_guidance=args.class_guidance,
-        seed=args.seed, num_imgs=args.num_imgs, n_iter=args.n_iter)
+    if args.init_image is not None:
+        import PIL.Image
+
+        src = PIL.Image.open(args.init_image).convert("RGB")
+        if args.mask is not None:
+            mask = PIL.Image.open(args.mask).convert("L")
+            img = dt.inpaint(
+                src, mask, args.prompt,
+                strength=args.strength if args.strength is not None else 1.0,
+                class_guidance=args.class_guidance, seed=args.seed,
+                num_imgs=args.num_imgs, n_iter=args.n_iter,
+                negative_prompt=args.negative_prompt)
+        else:
+            img = dt.image_to_image(
+                src, args.prompt,
+                strength=args.strength if args.strength is not None else 0.5,
+                class_guidance=args.class_guidance, seed=args.seed,
+                num_imgs=args.num_imgs, n_iter=args.n_iter,
+                negative_prompt=args.negative_prompt)
+    else:
+        img = dt.generate_image_from_text(
+            prompt=args.prompt, class_guidance=args.class_guidance,
+            seed=args.seed, num_imgs=args.num_imgs, n_iter=args.n_iter,
+            negative_prompt=args.negative_prompt)
     img.save(args.out)
     print(f"saved {args.out}")
 

@@ -16,3 +16,35 @@ def test_example_generate_tiny(tmp_path, monkeypatch):
 
     img = PIL.Image.open(out)
     assert img.size[0] > 0
+
+
+def test_example_generate_img2img_and_inpaint(tmp_path, monkeypatch):
+    import numpy as np
+    import PIL.Image
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    px = 32  # tiny 2-block VAE downsamples by 2; 16-wide latent model
+    src = str(tmp_path / "src.png")
+    PIL.Image.fromarray(np.random.default_rng(0).integers(
+        0, 255, size=(px, px, 3), dtype=np.uint8)).save(src)
+
+    out = str(tmp_path / "i2i.png")
+    monkeypatch.setattr(sys, "argv", [
+        "examples/generate.py", "--tiny", "--n-iter", "4", "--out", out,
+        "--init-image", src, "--strength", "0.5",
+        "--negative-prompt", "blurry"])
+    runpy.run_path(os.path.join(root, "examples", "generate.py"),
+                   run_name="__main__")
+    assert PIL.Image.open(out).size[0] > 0
+
+    mask = str(tmp_path / "mask.png")
+    m = np.zeros((px, px), dtype=np.uint8)
+    m[: px // 2] = 255
+    PIL.Image.fromarray(m).save(mask)
+    out2 = str(tmp_path / "inpaint.png")
+    monkeypatch.setattr(sys, "argv", [
+        "examples/generate.py", "--tiny", "--n-iter", "4", "--out", out2,
+        "--init-image", src, "--mask", mask])
+    runpy.run_path(os.path.join(root, "examples", "generate.py"),
+                   run_name="__main__")
+    assert PIL.Image.open(out2).size[0] > 0
