@@ -69,6 +69,52 @@ def test_denoiser_matches_torch_reference():
 
 
 @requires_reference
+def test_export_torch_round_trips_and_loads_into_reference():
+    """flax -> torch export: the exported state_dict round-trips through
+    the forward converter bit-exactly AND loads into the actual reference
+    TorchDenoiser with forward parity (TPU-trained weights deploy on the
+    reference stack)."""
+    from transformer_latent_diffusion_tpu.models.torch_compat import (
+        export_torch_denoiser_state_dict,
+    )
+    from transformer_latent_diffusion_tpu.utils import init_denoiser_params
+
+    cfg = DenoiserConfig()
+    jmodel = Denoiser(**asdict(cfg))
+    params = init_denoiser_params(jmodel, cfg)
+
+    sd = export_torch_denoiser_state_dict(params, cfg)
+
+    # exact round trip through the forward converter
+    back = convert_torch_denoiser_state_dict(dict(sd), cfg)
+    flat_a = jax.tree_util.tree_leaves_with_path(params)
+    flat_b = jax.tree_util.tree_leaves_with_path(back)
+    assert len(flat_a) == len(flat_b)
+    for (pa, a), (pb, b) in zip(flat_a, flat_b):
+        assert pa == pb
+        np.testing.assert_array_equal(np.asarray(a, dtype=np.float32), b)
+
+    # loads into the real reference model (strict) with forward parity
+    tmodel = TorchDenoiser(**reference_denoiser_kwargs(cfg))
+    tmodel.load_state_dict({k: torch.from_numpy(v) for k, v in sd.items()})
+    tmodel.eval()
+
+    rng = np.random.default_rng(2)
+    x = rng.standard_normal((3, cfg.n_channels, cfg.image_size,
+                             cfg.image_size)).astype(np.float32)
+    noise_level = rng.uniform(0.01, 0.99, (3, 1)).astype(np.float32)
+    label = rng.standard_normal((3, cfg.text_emb_size)).astype(np.float32)
+    with torch.no_grad():
+        want = tmodel(torch.from_numpy(x), torch.from_numpy(noise_level),
+                      torch.from_numpy(label)).numpy()
+    got = np.asarray(jax.jit(
+        lambda p, *a: jmodel.apply({"params": p}, *a))(
+            params, jnp.asarray(x), jnp.asarray(noise_level),
+            jnp.asarray(label)))
+    np.testing.assert_allclose(got, want, atol=2e-4, rtol=1e-3)
+
+
+@requires_reference
 def test_sampler_latents_match_torch_reference():
     """Full reverse-diffusion parity: same weights, same init noise, same
     labels -> latents must agree within BASELINE tolerance (1e-2) for both

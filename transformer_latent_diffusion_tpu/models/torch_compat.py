@@ -166,6 +166,88 @@ def convert_torch_denoiser_state_dict(sd: Dict[str, Any], cfg) -> Dict[str, Any]
     return params
 
 
+def export_torch_denoiser_state_dict(params: Dict[str, Any],
+                                     cfg) -> Dict[str, np.ndarray]:
+    """Our Flax denoiser param tree -> a reference-`Denoiser` torch-layout
+    state_dict (exact inverse of `convert_torch_denoiser_state_dict`), so
+    a TPU-trained model deploys on the reference torch stack
+    (reference denoiser.py:85-126; load path diffusion.py:148-153).
+
+    Returns numpy float32 arrays keyed by the reference's names; wrap with
+    `{k: torch.from_numpy(v) for ...}` for `load_state_dict`."""
+    p_sz = cfg.patch_size
+    c = cfg.n_channels
+    patch_dim = c * p_sz * p_sz
+
+    def arr(x):
+        return np.asarray(x, dtype=np.float32)
+
+    def lin(out, name, leaf):
+        out[f"{name}.weight"] = arr(leaf["kernel"]).T
+        if "bias" in leaf:
+            out[f"{name}.bias"] = arr(leaf["bias"])
+
+    def ln(out, name, leaf):
+        out[f"{name}.weight"] = arr(leaf["scale"])
+        out[f"{name}.bias"] = arr(leaf["bias"])
+
+    sd: Dict[str, np.ndarray] = {}
+    # the reference registers two deterministic (non-learned) buffers that
+    # strict load_state_dict expects: the sinusoidal angular speeds
+    # (transformer_blocks.py:11-15) and the pos-embed index table
+    # (denoiser.py:55)
+    half = cfg.noise_embed_dims // 2
+    sd["fourier_feats.0.angular_speeds"] = (
+        2.0 * np.pi * np.exp(np.linspace(np.log(1.0), np.log(1000.0), half))
+    ).astype(np.float32)
+    seq_len = (cfg.image_size // p_sz) ** 2
+    sd["denoiser_trans_block.precomputed_pos_enc"] = np.arange(
+        seq_len, dtype=np.int64)
+
+    lin(sd, "fourier_feats.1", params["fourier_dense1"])
+    lin(sd, "fourier_feats.3", params["fourier_dense2"])
+    lin(sd, "label_proj", params["label_proj"])
+    ln(sd, "norm", params["cond_norm"])
+
+    tb = params["denoiser_trans_block"]
+    sd["denoiser_trans_block.patchify_and_embed.0.weight"] = (
+        arr(tb["patch_proj"]["kernel"]).T.reshape(patch_dim, c, p_sz, p_sz))
+    sd["denoiser_trans_block.patchify_and_embed.0.bias"] = arr(
+        tb["patch_proj"]["bias"])
+    ln(sd, "denoiser_trans_block.patchify_and_embed.2", tb["patch_norm1"])
+    lin(sd, "denoiser_trans_block.patchify_and_embed.3", tb["embed_proj"])
+    ln(sd, "denoiser_trans_block.patchify_and_embed.4", tb["patch_norm2"])
+    sd["denoiser_trans_block.pos_embed.weight"] = arr(tb["pos_embed"])
+
+    i = 0
+    while f"decoder_block_{i}" in tb:
+        blk = tb[f"decoder_block_{i}"]
+        base = f"denoiser_trans_block.decoder_blocks.{i}"
+        lin(sd, f"{base}.self_attention.qkv_linear",
+            blk["self_attention"]["qkv_linear"])
+        lin(sd, f"{base}.cross_attention.q_linear",
+            blk["cross_attention"]["q_linear"])
+        lin(sd, f"{base}.cross_attention.kv_linear",
+            blk["cross_attention"]["kv_linear"])
+        mlp = blk["mlp"]
+        sd[f"{base}.mlp.mlp.0.weight"] = (
+            arr(mlp["expand"]["kernel"]).T[:, :, None, None])
+        sd[f"{base}.mlp.mlp.0.bias"] = arr(mlp["expand"]["bias"])
+        sd[f"{base}.mlp.mlp.1.weight"] = (
+            arr(mlp["depthwise_kernel"]).transpose(3, 2, 0, 1))
+        sd[f"{base}.mlp.mlp.1.bias"] = arr(mlp["depthwise_bias"])
+        sd[f"{base}.mlp.mlp.3.weight"] = (
+            arr(mlp["contract"]["kernel"]).T[:, :, None, None])
+        sd[f"{base}.mlp.mlp.3.bias"] = arr(mlp["contract"]["bias"])
+        ln(sd, f"{base}.norm1", blk["norm1"])
+        ln(sd, f"{base}.norm2", blk["norm2"])
+        ln(sd, f"{base}.norm3", blk["norm3"])
+        i += 1
+
+    lin(sd, "denoiser_trans_block.out_proj.0", tb["out_proj"])
+    return sd
+
+
 # ------------------------------ VAE ----------------------------------------
 
 
