@@ -69,6 +69,10 @@ def main():
                                 vocab_path=args.vocab),
         )
 
+    if args.init_image is None and (args.mask is not None
+                                    or args.strength is not None):
+        ap.error("--mask/--strength require --init-image")
+
     dt = DiffusionTransformer(cfg)
     if args.init_image is not None:
         import PIL.Image

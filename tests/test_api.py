@@ -148,6 +148,18 @@ def test_generate_image_img2img_and_inpaint(client):
     assert r["status"] == 500
 
 
+def test_generate_image_mask_without_init_is_422(client):
+    """mask/strength only make sense with init_image; the route rejects
+    the combination up front instead of failing deep in the sampler."""
+    token = os.getenv("API_TOKEN")
+    for payload in ({"prompt": "x", "strength": 0.5},
+                    {"prompt": "x", "mask": "AAAA"}):
+        r = client.post_json("/generate-image/", payload,
+                             headers={"Authorization": f"Bearer {token}"})
+        assert r["status"] == 422, r["body"]
+        assert "init_image" in json.loads(r["body"])["detail"]
+
+
 def test_generate_image_with_acceleration_knobs(client):
     """Beyond-reference request fields: n_iter and cache_interval are
     accepted; on a non-fused deployment cache_interval falls back to

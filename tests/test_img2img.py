@@ -139,6 +139,24 @@ def test_inpaint_keeps_unmasked_region_exactly(gen):
                            np.asarray(init)[..., : s // 2, :])
 
 
+def test_inpaint_keep_region_exact_under_sharp_bright(gen):
+    """sharp_f/bright_f channel shifts apply only inside the mask — the
+    keep region must stay bit-exact even with nonzero shifts."""
+    labels = _labels()
+    init = jax.random.normal(jax.random.PRNGKey(7),
+                             (2, CFG.n_channels, CFG.image_size,
+                              CFG.image_size))
+    s = CFG.image_size
+    mask = np.zeros((1, 1, s, s), np.float32)
+    mask[..., : s // 2, :] = 1.0
+    _, out = gen.generate(labels=labels, n_iter=4, num_imgs=2, seed=3,
+                          img_size=s, sharp_f=0.2, bright_f=-0.1,
+                          init_latents=init, mask=mask)
+    out = np.asarray(out)
+    np.testing.assert_array_equal(out[..., s // 2:, :],
+                                  np.asarray(init)[..., s // 2:, :])
+
+
 def test_inpaint_requires_init(gen):
     with pytest.raises(ValueError, match="mask requires init_latents"):
         gen.generate(labels=_labels(), n_iter=4, num_imgs=2,

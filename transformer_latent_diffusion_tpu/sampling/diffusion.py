@@ -411,9 +411,12 @@ class DiffusionGenerator:
         x0 = run(*args)
 
         # latent "editing": sharpness / brightness channel shifts
-        # (reference diffusion.py:87-89)
-        x0 = x0.at[:, 3, :, :].add(sharp_f)
-        x0 = x0.at[:, 0, :, :].add(bright_f)
+        # (reference diffusion.py:87-89). Under an inpainting mask the
+        # shifts apply only to the regenerated region — the keep region
+        # must stay bit-exact.
+        shift = 1.0 if mask is None else m[:, 0]
+        x0 = x0.at[:, 3, :, :].add(sharp_f * shift)
+        x0 = x0.at[:, 0, :, :].add(bright_f * shift)
 
         if self.vae is None:
             return None, x0

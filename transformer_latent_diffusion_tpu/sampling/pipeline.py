@@ -259,6 +259,41 @@ class DiffusionTransformer:
         )
         return uint8_grid_to_pil(np.asarray(out), nrow=nrow, padding=4)
 
+    _SCALE_FACTOR = 8.0  # latent value scaling (reference vae_scale_factor)
+
+    def _encode_init_image(self, image):
+        """PIL / (H,W,3) / (B,H,W,3) image -> sampler-unit latents.
+
+        Integer inputs are uint8 pixels -> [-1,1]; float inputs are
+        assumed already in [-1,1] (decide by DTYPE, not value range — a
+        near-black uint8 image must still rescale)."""
+        raw = np.asarray(image)
+        is_int = np.issubdtype(raw.dtype, np.integer)
+        arr = raw.astype(np.float32)
+        if arr.ndim == 3:
+            arr = arr[None]
+        if arr.shape[-1] == 3:  # HWC -> CHW
+            arr = np.transpose(arr, (0, 3, 1, 2))
+        if is_int:
+            arr = arr / 127.5 - 1.0
+        lat = self.vae.encode(arr) / self._SCALE_FACTOR
+        want = self.diffuser.model.image_size
+        if lat.shape[-1] != want:
+            down = arr.shape[-1] // lat.shape[-1]  # this VAE's spatial factor
+            raise ValueError(
+                f"input image is {arr.shape[-1]}px -> latent "
+                f"{lat.shape[-1]}, but the model expects a {want} latent "
+                f"({want * down}px with this VAE); resize the image first")
+        return lat
+
+    def _encode_prompts(self, prompt, negative_prompt, num_imgs):
+        labels = encode_text([prompt] * num_imgs, self.clip_model)
+        negative_labels = None
+        if negative_prompt is not None:
+            negative_labels = encode_text(
+                [negative_prompt] * num_imgs, self.clip_model)
+        return labels, negative_labels
+
     def image_to_image(
         self,
         image,
@@ -272,39 +307,21 @@ class DiffusionTransformer:
     ):
         """Image + prompt -> PIL image grid (img2img, beyond reference).
 
-        `image` is a PIL image or (H,W,3) / (B,H,W,3) uint8/float array;
-        it is VAE-encoded and re-noised to the schedule's `strength`
-        point, then denoised under the prompt (see
-        DiffusionGenerator.generate init_latents/strength). A single
-        input image with num_imgs > 1 yields num_imgs variations (same
-        init, different noise draws)."""
-        arr = np.asarray(image, dtype=np.float32)
-        if arr.ndim == 3:
-            arr = arr[None]
-        if arr.shape[-1] == 3:  # HWC -> CHW
-            arr = np.transpose(arr, (0, 3, 1, 2))
-        if arr.max() > 1.5:  # uint8 pixel range -> [-1, 1]
-            arr = arr / 127.5 - 1.0
-        scale_factor = 8.0
-        lat = self.vae.encode(arr) / scale_factor
-        want = self.diffuser.model.image_size
-        if lat.shape[-1] != want:
-            down = arr.shape[-1] // lat.shape[-1]  # this VAE's spatial factor
-            raise ValueError(
-                f"input image is {arr.shape[-1]}px -> latent "
-                f"{lat.shape[-1]}, but the model expects a {want} latent "
-                f"({want * down}px with this VAE); resize the image first")
-        if lat.shape[0] == 1 and num_imgs > 1:
-            pass  # (1,C,S,S) broadcasts against num_imgs noise draws
-        else:
+        `image` is a PIL image or (H,W,3) / (B,H,W,3) uint8/float array
+        (float means already in [-1,1]); it is VAE-encoded and re-noised
+        to the schedule's `strength` point, then denoised under the
+        prompt (see DiffusionGenerator.generate init_latents/strength).
+        A single input image with num_imgs > 1 yields num_imgs
+        variations (same init, different noise draws)."""
+        lat = self._encode_init_image(image)
+        if not (lat.shape[0] == 1 and num_imgs > 1):
+            # (1,C,S,S) broadcasts against num_imgs noise draws; a real
+            # batch fixes num_imgs to the batch size
             num_imgs = int(lat.shape[0])
         nrow = int(math.sqrt(num_imgs))
 
-        labels = encode_text([prompt] * num_imgs, self.clip_model)
-        negative_labels = None
-        if negative_prompt is not None:
-            negative_labels = encode_text(
-                [negative_prompt] * num_imgs, self.clip_model)
+        labels, negative_labels = self._encode_prompts(
+            prompt, negative_prompt, num_imgs)
         out, _ = self.diffuser.generate(
             labels=labels,
             num_imgs=num_imgs,
@@ -313,7 +330,7 @@ class DiffusionTransformer:
             seed=seed,
             n_iter=n_iter,
             exponent=1,
-            scale_factor=scale_factor,
+            scale_factor=self._SCALE_FACTOR,
             sharp_f=0,
             bright_f=0,
             output="uint8",
@@ -339,31 +356,19 @@ class DiffusionTransformer:
         (inpainting, beyond reference).
 
         `mask` is a PIL image or (H,W) array in image space — nonzero =
-        regenerate, zero = keep. It is max-pooled to the latent grid
-        (any touched latent cell regenerates; latent cells couple ~8px
-        of pixels, so masks are latent-resolution). strength < 1
-        additionally limits how far the masked region departs (img2img
-        semantics inside the mask)."""
-        arr = np.asarray(image, dtype=np.float32)
-        if arr.ndim == 3:
-            arr = arr[None]
-        if arr.shape[-1] == 3:
-            arr = np.transpose(arr, (0, 3, 1, 2))
-        if arr.max() > 1.5:
-            arr = arr / 127.5 - 1.0
-        scale_factor = 8.0
-        lat = self.vae.encode(arr) / scale_factor
+        regenerate, zero = keep (multi-channel masks use the FIRST
+        channel: an opaque alpha channel must not mark everything as
+        regenerate). It is max-pooled to the latent grid (any touched
+        latent cell regenerates; latent cells couple ~8px of pixels, so
+        masks are latent-resolution). strength < 1 additionally limits
+        how far the masked region departs (img2img semantics inside the
+        mask)."""
+        lat = self._encode_init_image(image)
         want = self.diffuser.model.image_size
-        if lat.shape[-1] != want:
-            down = arr.shape[-1] // lat.shape[-1]
-            raise ValueError(
-                f"input image is {arr.shape[-1]}px -> latent "
-                f"{lat.shape[-1]}, but the model expects a {want} latent "
-                f"({want * down}px with this VAE); resize the image first")
 
         m = np.asarray(mask, dtype=np.float32)
-        if m.ndim == 3:  # RGB(A) mask -> single channel
-            m = m.max(axis=-1)
+        if m.ndim == 3:  # RGB(A)/channel-last mask -> first channel
+            m = m[..., 0]
         m = (m > 0).astype(np.float32)
         down = m.shape[-1] // want
         if down < 1 or m.shape[-1] != want * down or m.shape[-2] != want * down:
@@ -374,17 +379,12 @@ class DiffusionTransformer:
         m = m.reshape(want, down, want, down).max(axis=(1, 3))
         m = m[None, None]  # (1,1,S,S) broadcasts over batch+channels
 
-        if lat.shape[0] == 1 and num_imgs > 1:
-            pass
-        else:
+        if not (lat.shape[0] == 1 and num_imgs > 1):
             num_imgs = int(lat.shape[0])
         nrow = int(math.sqrt(num_imgs))
 
-        labels = encode_text([prompt] * num_imgs, self.clip_model)
-        negative_labels = None
-        if negative_prompt is not None:
-            negative_labels = encode_text(
-                [negative_prompt] * num_imgs, self.clip_model)
+        labels, negative_labels = self._encode_prompts(
+            prompt, negative_prompt, num_imgs)
         out, _ = self.diffuser.generate(
             labels=labels,
             num_imgs=num_imgs,
@@ -393,7 +393,7 @@ class DiffusionTransformer:
             seed=seed,
             n_iter=n_iter,
             exponent=1,
-            scale_factor=scale_factor,
+            scale_factor=self._SCALE_FACTOR,
             sharp_f=0,
             bright_f=0,
             output="uint8",

@@ -173,6 +173,11 @@ def create_wsgi_app(cfg: Optional[LTDConfig] = None, service=None):
                 if "prompt" not in payload:
                     return respond(
                         422, json.dumps({"detail": "prompt is required"}).encode())
+                if (payload.get("init_image") is None
+                        and (payload.get("mask") is not None
+                             or payload.get("strength") is not None)):
+                    return respond(422, json.dumps({
+                        "detail": "mask/strength require init_image"}).encode())
                 kwargs = {k: payload.get(k, v) for k, v in REQUEST_DEFAULTS.items()}
                 jpeg = svc.generate_jpeg(prompt=payload["prompt"], **kwargs)
                 return respond(200, jpeg, content_type="image/jpeg")
@@ -231,6 +236,10 @@ def create_fastapi_app(cfg: Optional[LTDConfig] = None, service=None):
         # requests overlap and can coalesce in the micro-batcher (an
         # async route would serialize the blocking generate on the event
         # loop and defeat batching entirely)
+        if request.init_image is None and (
+                request.mask is not None or request.strength is not None):
+            raise HTTPException(status_code=422,
+                                detail="mask/strength require init_image")
         try:
             jpeg = svc.generate_jpeg(
                 prompt=request.prompt, class_guidance=request.class_guidance,
