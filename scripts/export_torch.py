@@ -53,9 +53,12 @@ def main():
         )
 
         params = unflatten_npz(args.inp)
-        # full train-state npz -> prefer the EMA weights like the reference
+        # full train-state npz -> prefer the EMA weights like the
+        # reference; fall back to raw params (EMA-less states)
         if "ema_params" in params:
             params = params["ema_params"]
+        elif "params" in params:
+            params = params["params"]
 
     sd = export_torch_denoiser_state_dict(params, cfg)
     if args.out.endswith(".npz"):

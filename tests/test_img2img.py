@@ -157,6 +157,26 @@ def test_inpaint_keep_region_exact_under_sharp_bright(gen):
                                   np.asarray(init)[..., s // 2:, :])
 
 
+def test_inpaint_accepts_2d_mask_with_shifts(gen):
+    """generate() documents mask as broadcastable to the latent shape:
+    a plain (S,S) mask must behave exactly like its (1,1,S,S) reshape,
+    including the masked sharp/bright shift path."""
+    labels = _labels()
+    init = jax.random.normal(jax.random.PRNGKey(7),
+                             (2, CFG.n_channels, CFG.image_size,
+                              CFG.image_size))
+    s = CFG.image_size
+    m2d = np.zeros((s, s), np.float32)
+    m2d[: s // 2] = 1.0
+    kw = dict(labels=labels, n_iter=4, num_imgs=2, seed=3, img_size=s,
+              sharp_f=0.2, bright_f=-0.1, init_latents=init)
+    _, got = gen.generate(mask=m2d, **kw)
+    _, want = gen.generate(mask=m2d[None, None], **kw)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+    np.testing.assert_array_equal(np.asarray(got)[..., s // 2:, :],
+                                  np.asarray(init)[..., s // 2:, :])
+
+
 def test_inpaint_requires_init(gen):
     with pytest.raises(ValueError, match="mask requires init_latents"):
         gen.generate(labels=_labels(), n_iter=4, num_imgs=2,
@@ -222,6 +242,12 @@ def test_pipeline_image_to_image_and_negative_prompt():
     wrong = np.zeros((px * 2, px * 2, 3), dtype=np.uint8)
     with pytest.raises(ValueError, match="resize"):
         pipe.image_to_image(wrong, "x", n_iter=4)
+
+    # non-square must fail the same way (not an opaque broadcast error
+    # deep in the sampler: only the width used to be checked)
+    nonsquare = np.zeros((px * 2, px, 3), dtype=np.uint8)
+    with pytest.raises(ValueError, match="resize"):
+        pipe.image_to_image(nonsquare, "x", n_iter=4)
 
     # inpaint: image-space mask max-pools to the latent grid
     mask = np.zeros((px, px), dtype=np.uint8)

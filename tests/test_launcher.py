@@ -64,6 +64,24 @@ def test_launch_rejects_closures():
         launch(lambda: None, num_processes=2)
 
 
+def test_launch_rejects_unimportable_callables():
+    """partial objects (no __name__) and __main__-defined functions can't
+    be re-imported by the fresh child interpreters: clear error, not a
+    per-rank AttributeError crash."""
+    import functools
+
+    with pytest.raises(ValueError, match="importable"):
+        launch(functools.partial(_crash_on_rank_one), num_processes=2)
+
+    def fake_main():  # simulate a function defined in a user's script
+        pass
+
+    fake_main.__module__ = "__main__"
+    fake_main.__qualname__ = "fake_main"
+    with pytest.raises(ValueError, match="importable"):
+        launch(fake_main, num_processes=2)
+
+
 def _crash_on_rank_one():
     import os
 

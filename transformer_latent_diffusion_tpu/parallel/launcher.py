@@ -60,11 +60,16 @@ def launch(
     """
     if num_processes == 1:
         return [fn(*args, **kwargs)]
-    if fn.__name__ == "<lambda>" or "<locals>" in getattr(
-            fn, "__qualname__", ""):
+    name = getattr(fn, "__name__", None)
+    module = getattr(fn, "__module__", None)
+    if (name is None or name == "<lambda>" or module in (None, "__main__")
+            or "<locals>" in getattr(fn, "__qualname__", "")):
+        # __main__ is the script the user ran; the children import the
+        # worker as their __main__, so the function cannot be found there
         raise ValueError(
             "launch() spawns fresh interpreters: fn must be an importable "
-            f"module-level function, got {fn!r}")
+            "module-level function (not a lambda, closure, partial, or a "
+            f"function defined in __main__), got {fn!r}")
 
     port = _free_port()
     with tempfile.TemporaryDirectory(prefix="tld_launch_") as tmp:
@@ -81,46 +86,56 @@ def launch(
             )
 
         procs = []
-        for pid in range(num_processes):
-            env = dict(
-                os.environ,
-                JAX_COORDINATOR_ADDRESS=f"127.0.0.1:{port}",
-                JAX_NUM_PROCESSES=str(num_processes),
-                JAX_PROCESS_ID=str(pid),
-            )
-            # platform plumbing rides env vars so the worker can apply it
-            # before anything imports jax (see _launch_worker.py)
-            if devices_per_process:
-                env["TLD_LAUNCH_DEVICES"] = str(devices_per_process)
-            if platform:
-                env["TLD_LAUNCH_PLATFORM"] = platform
-            result_path = os.path.join(tmp, f"result_{pid}.pkl")
-            procs.append((result_path, subprocess.Popen(
-                [sys.executable, _WORKER, payload_path, result_path],
-                env=env, stdout=subprocess.PIPE,
-                stderr=subprocess.STDOUT, text=True)))
+        try:
+            for pid in range(num_processes):
+                env = dict(
+                    os.environ,
+                    JAX_COORDINATOR_ADDRESS=f"127.0.0.1:{port}",
+                    JAX_NUM_PROCESSES=str(num_processes),
+                    JAX_PROCESS_ID=str(pid),
+                )
+                # platform plumbing rides env vars so the worker can apply
+                # it before anything imports jax (see _launch_worker.py)
+                if devices_per_process:
+                    env["TLD_LAUNCH_DEVICES"] = str(devices_per_process)
+                if platform:
+                    env["TLD_LAUNCH_PLATFORM"] = platform
+                result_path = os.path.join(tmp, f"result_{pid}.pkl")
+                procs.append((result_path, subprocess.Popen(
+                    [sys.executable, _WORKER, payload_path, result_path],
+                    env=env, stdout=subprocess.PIPE,
+                    stderr=subprocess.STDOUT, text=True)))
 
-        # Failure detection: poll ALL ranks. If any rank dies (crash
-        # before/inside a collective), the survivors block forever in the
-        # grpc barrier — terminate them and surface the failed rank's
-        # output instead of hanging the parent.
-        outs, first_failed = _wait_all(
-            [p for _, p in procs], num_processes, timeout)
-        results = []
-        if first_failed is not None:
-            p = procs[first_failed][1]
-            raise RuntimeError(
-                f"launch(): process {first_failed}/{num_processes} exited "
-                f"{p.returncode} (survivors terminated):"
-                f"\n{outs[first_failed][-4000:]}")
-        for pid, ((result_path, p), out) in enumerate(zip(procs, outs)):
-            if p.returncode != 0:
+            # Failure detection: poll ALL ranks. If any rank dies (crash
+            # before/inside a collective), the survivors block forever in
+            # the grpc barrier — terminate them and surface the failed
+            # rank's output instead of hanging the parent.
+            outs, first_failed = _wait_all(
+                [p for _, p in procs], num_processes, timeout)
+            results = []
+            if first_failed is not None:
+                p = procs[first_failed][1]
                 raise RuntimeError(
-                    f"launch(): process {pid}/{num_processes} exited "
-                    f"{p.returncode}:\n{out[-4000:]}")
-            with open(result_path, "rb") as f:
-                results.append(pickle.load(f))
-        return results
+                    f"launch(): process {first_failed}/{num_processes} "
+                    f"exited {p.returncode} (survivors terminated):"
+                    f"\n{outs[first_failed][-4000:]}")
+            for pid, ((result_path, p), out) in enumerate(zip(procs, outs)):
+                if p.returncode != 0:
+                    raise RuntimeError(
+                        f"launch(): process {pid}/{num_processes} exited "
+                        f"{p.returncode}:\n{out[-4000:]}")
+                with open(result_path, "rb") as f:
+                    results.append(pickle.load(f))
+            return results
+        except BaseException:
+            # a spawn failure partway through (ENOMEM, EMFILE, ...) or an
+            # unpickling error must not orphan already-started ranks:
+            # they would block on the grpc coordinator waiting for a
+            # world that will never assemble
+            for _, p in procs:
+                if p.poll() is None:
+                    p.terminate()
+            raise
 
 
 def _wait_all(procs, num_processes: int, timeout: Optional[float]):

@@ -406,7 +406,11 @@ class DiffusionGenerator:
             jnp.asarray(class_guidance, dtype=jnp.float32),
         )
         if mask is not None:
-            m = jnp.asarray(mask, dtype=jnp.float32)
+            # normalize any broadcastable mask (scalar, (S,S), (1,1,S,S))
+            # to the full latent shape so downstream indexing (m[:, 0]
+            # below) is well-defined regardless of the input rank
+            m = jnp.broadcast_to(jnp.asarray(mask, dtype=jnp.float32),
+                                 x_t.shape)
             args += (m, init, noise)
         x0 = run(*args)
 

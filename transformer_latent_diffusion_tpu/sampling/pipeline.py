@@ -235,11 +235,8 @@ class DiffusionTransformer:
             prompts = [prompt] * num_imgs
         nrow = int(math.sqrt(num_imgs))
 
-        labels = encode_text(prompts, self.clip_model)
-        negative_labels = None
-        if negative_prompt is not None:
-            negative_labels = encode_text(
-                [negative_prompt] * num_imgs, self.clip_model)
+        labels, negative_labels = self._encode_prompts(
+            prompts, negative_prompt, num_imgs)
         # output="uint8" quantizes on device (same math as the float
         # path + to_pil) so only H*W*3 bytes per image leave the chip
         out, _ = self.diffuser.generate(
@@ -278,16 +275,19 @@ class DiffusionTransformer:
             arr = arr / 127.5 - 1.0
         lat = self.vae.encode(arr) / self._SCALE_FACTOR
         want = self.diffuser.model.image_size
-        if lat.shape[-1] != want:
+        if lat.shape[-2:] != (want, want):  # both dims: non-square must fail
             down = arr.shape[-1] // lat.shape[-1]  # this VAE's spatial factor
             raise ValueError(
-                f"input image is {arr.shape[-1]}px -> latent "
-                f"{lat.shape[-1]}, but the model expects a {want} latent "
-                f"({want * down}px with this VAE); resize the image first")
+                f"input image is {arr.shape[-2]}x{arr.shape[-1]}px -> latent "
+                f"{lat.shape[-2]}x{lat.shape[-1]}, but the model expects a "
+                f"square {want} latent ({want * down}px with this VAE); "
+                f"resize the image first")
         return lat
 
     def _encode_prompts(self, prompt, negative_prompt, num_imgs):
-        labels = encode_text([prompt] * num_imgs, self.clip_model)
+        prompts = (list(prompt) if isinstance(prompt, (list, tuple))
+                   else [prompt] * num_imgs)
+        labels = encode_text(prompts, self.clip_model)
         negative_labels = None
         if negative_prompt is not None:
             negative_labels = encode_text(

@@ -74,6 +74,11 @@ class GenerationService:
             # img2img / inpainting (base64-encoded PNG/JPEG payloads);
             # bypasses the batcher — per-request init latents don't
             # coalesce
+            if cache_interval > 1:
+                import warnings
+
+                warnings.warn("cache_interval is not supported on the "
+                              "img2img/inpaint path; sampling exactly")
             import base64
 
             import PIL.Image
