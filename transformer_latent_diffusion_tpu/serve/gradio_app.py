@@ -6,18 +6,41 @@ that POSTs to the HTTP API with a bearer token and displays the returned
 JPEG. Framework-decoupled: talks to the service purely over HTTP via the
 API_URL / API_TOKEN env vars.
 
+Beyond-reference controls (mirror the service's extra request fields):
+negative prompt, seed, sampling steps, and the editing triad — an
+optional init image (img2img via `strength`) and an optional mask image
+(inpainting; white = regenerate). Uploads are base64-PNG-encoded into the
+same `init_image`/`mask` request fields the HTTP service accepts.
+
 gradio is optional; `generate_image_from_text` is usable directly (and by
 any other frontend) without it.
 """
 
 from __future__ import annotations
 
+import base64
 import os
 from io import BytesIO
 
 
+def _b64_png(image) -> str:
+    """PIL image or HxWx3 array -> base64 PNG string for the API."""
+    import PIL.Image
+
+    if not isinstance(image, PIL.Image.Image):
+        import numpy as np
+
+        image = PIL.Image.fromarray(np.asarray(image))
+    buf = BytesIO()
+    image.save(buf, format="PNG")
+    return base64.b64encode(buf.getvalue()).decode()
+
+
 def generate_image_from_text(prompt: str, class_guidance: float = 6,
-                             negative_prompt: str = ""):
+                             negative_prompt: str = "",
+                             init_image=None, mask=None,
+                             strength: float = 0.5,
+                             seed: int = 11, n_iter: int = 15):
     import requests
     from PIL import Image
 
@@ -25,9 +48,15 @@ def generate_image_from_text(prompt: str, class_guidance: float = 6,
     token_id = os.getenv("API_TOKEN")
     headers = {"Authorization": f"Bearer {token_id}"}
     data = {"prompt": prompt, "class_guidance": class_guidance,
-            "seed": 11, "num_imgs": 1, "img_size": 32}
+            "seed": int(seed), "num_imgs": 1, "img_size": 32,
+            "n_iter": int(n_iter)}
     if negative_prompt.strip():
         data["negative_prompt"] = negative_prompt
+    if init_image is not None:
+        data["init_image"] = _b64_png(init_image)
+        data["strength"] = float(strength)
+        if mask is not None:
+            data["mask"] = _b64_png(mask)
 
     response = requests.post(url, json=data, headers=headers)
     if response.status_code == 200:
@@ -42,10 +71,18 @@ def build_interface():
     return gr.Interface(
         fn=generate_image_from_text,
         inputs=["text", "slider",
-                gr.Textbox(label="Negative prompt (optional)")],
+                gr.Textbox(label="Negative prompt (optional)"),
+                gr.Image(label="Init image (optional, img2img)",
+                         type="pil"),
+                gr.Image(label="Mask (optional, white = regenerate)",
+                         type="pil", image_mode="L"),
+                gr.Slider(0.0, 1.0, value=0.5, label="Strength"),
+                gr.Number(value=11, precision=0, label="Seed"),
+                gr.Slider(1, 50, value=15, step=1, label="Steps")],
         outputs="image",
         title="Text-to-Image Generator",
-        description="Enter a text prompt to generate an image.",
+        description="Enter a text prompt to generate an image. Optionally "
+                    "upload an init image (img2img) and a mask (inpaint).",
     )
 
 
