@@ -46,6 +46,9 @@ def main():
                     help="inpainting: white = regenerate (requires --init-image)")
     ap.add_argument("--strength", type=float, default=None,
                     help="img2img departure, (0,1]; default 0.5 (1.0 with --mask)")
+    ap.add_argument("--interpolate-to", default=None,
+                    help="morph --prompt -> this prompt: one strip of "
+                         "--num-imgs frames, shared init noise")
     args = ap.parse_args()
 
     from transformer_latent_diffusion_tpu.configs import (
@@ -93,6 +96,12 @@ def main():
                 class_guidance=args.class_guidance, seed=args.seed,
                 num_imgs=args.num_imgs, n_iter=args.n_iter,
                 negative_prompt=args.negative_prompt)
+    elif args.interpolate_to is not None:
+        img = dt.interpolate(
+            args.prompt, args.interpolate_to,
+            n_frames=max(args.num_imgs, 2), class_guidance=args.class_guidance,
+            seed=args.seed, n_iter=args.n_iter,
+            negative_prompt=args.negative_prompt)
     else:
         img = dt.generate_image_from_text(
             prompt=args.prompt, class_guidance=args.class_guidance,

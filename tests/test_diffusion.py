@@ -167,3 +167,62 @@ def test_generate_uint8_output_matches_float_path():
     ref = (ref * 255.0 + 0.5).astype(np.uint8)          # to_pil math, NCHW
     got = np.asarray(u_img).transpose(0, 3, 1, 2)        # NHWC -> NCHW
     np.testing.assert_array_equal(got, ref)
+
+
+def test_interpolation_strip():
+    """interpolate() (reference README's notebook-only 'Clip
+    interpolation Examples' as a first-class API): slerp endpoints must
+    reproduce the plain single-prompt generations, since every frame
+    shares one seeded init noise and t=0/1 return the exact embeddings."""
+    dt = DiffusionTransformer(tiny_ltd_config())
+    n = 3
+    strip = dt.interpolate("a cat", "a dog", n_frames=n, n_iter=4, seed=7)
+    assert isinstance(strip, PIL.Image.Image)
+    px = denoiser_cfg.image_size * 2  # tiny-VAE upsample factor 2
+    assert strip.size == (n * px + (n + 1) * 4, px + 8)
+
+    solo_a = dt.generate_image_from_text("a cat", seed=7, n_iter=4)
+    solo_b = dt.generate_image_from_text("a dog", seed=7, n_iter=4)
+
+    def frame(i):
+        x = 4 + i * (px + 4)
+        return np.asarray(strip.crop((x, 4, x + px, 4 + px)), dtype=np.int16)
+
+    def inner(img):
+        return np.asarray(img.crop((4, 4, 4 + px, 4 + px)), dtype=np.int16)
+
+    # +-1 uint8: batched-vs-solo XLA scheduling changes floats slightly
+    assert np.abs(frame(0) - inner(solo_a)).max() <= 1
+    assert np.abs(frame(n - 1) - inner(solo_b)).max() <= 1
+    # interior frames are new images, not a copy of either endpoint
+    assert np.abs(frame(1) - frame(0)).max() > 1
+    assert np.abs(frame(1) - frame(n - 1)).max() > 1
+
+
+def test_interpolation_seed_axis():
+    """Noise-space interpolation (the README's 'interpolate in the
+    random normal latent space' property of the deterministic DDIM map):
+    slerp endpoints must reproduce the two plain seeded generations."""
+    import pytest
+
+    dt = DiffusionTransformer(tiny_ltd_config())
+    n = 3
+    strip = dt.interpolate("a cat", seed=7, seed_b=9, n_frames=n, n_iter=4)
+    px = denoiser_cfg.image_size * 2
+    assert strip.size == (n * px + (n + 1) * 4, px + 8)
+
+    solo_a = dt.generate_image_from_text("a cat", seed=7, n_iter=4)
+    solo_b = dt.generate_image_from_text("a cat", seed=9, n_iter=4)
+
+    def frame(i):
+        x = 4 + i * (px + 4)
+        return np.asarray(strip.crop((x, 4, x + px, 4 + px)), dtype=np.int16)
+
+    def inner(img):
+        return np.asarray(img.crop((4, 4, 4 + px, 4 + px)), dtype=np.int16)
+
+    assert np.abs(frame(0) - inner(solo_a)).max() <= 1
+    assert np.abs(frame(n - 1) - inner(solo_b)).max() <= 1
+
+    with pytest.raises(ValueError, match="nothing to interpolate"):
+        dt.interpolate("a cat", n_frames=3)

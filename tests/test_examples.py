@@ -48,3 +48,17 @@ def test_example_generate_img2img_and_inpaint(tmp_path, monkeypatch):
     runpy.run_path(os.path.join(root, "examples", "generate.py"),
                    run_name="__main__")
     assert PIL.Image.open(out2).size[0] > 0
+
+
+def test_example_generate_interpolate(tmp_path, monkeypatch):
+    import PIL.Image
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = str(tmp_path / "interp.png")
+    monkeypatch.setattr(sys, "argv", [
+        "examples/generate.py", "--tiny", "--n-iter", "4", "--out", out,
+        "--prompt", "a cat", "--interpolate-to", "a dog", "--num-imgs", "3"])
+    runpy.run_path(os.path.join(root, "examples", "generate.py"),
+                   run_name="__main__")
+    img = PIL.Image.open(out)
+    assert img.size[0] == 3 * 32 + 4 * 4  # 3-frame strip

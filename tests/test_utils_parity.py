@@ -90,3 +90,28 @@ def test_uint8_grid_matches_float_grid():
     got = np.asarray(uint8_grid_to_pil(u8, nrow=2, padding=4))
 
     np.testing.assert_array_equal(got, ref)
+
+
+def test_slerp():
+    """Spherical interpolation: exact endpoints, great-circle midpoint,
+    norm interpolation, parallel fallback."""
+    from transformer_latent_diffusion_tpu.utils import slerp
+
+    a = np.array([1.0, 0.0], np.float32)
+    b = np.array([0.0, 1.0], np.float32)
+    ts = np.linspace(0.0, 1.0, 5)
+    out = slerp(a, b, ts)
+    assert out.shape == (5, 2)
+    np.testing.assert_allclose(out[0], a, atol=1e-6)
+    np.testing.assert_allclose(out[-1], b, atol=1e-6)
+    np.testing.assert_allclose(out[2], np.sqrt(0.5), atol=1e-6)
+    # norms interpolate linearly (unit inputs stay unit everywhere)
+    np.testing.assert_allclose(np.linalg.norm(out, axis=-1), 1.0, atol=1e-6)
+    np.testing.assert_allclose(
+        np.linalg.norm(slerp(2 * a, 4 * b, 0.5)), 3.0, atol=1e-6)
+    # (anti)parallel-safe: falls back to lerp instead of dividing by ~0
+    np.testing.assert_allclose(slerp(a, a, 0.3), a, atol=1e-6)
+    rng = np.random.default_rng(0)
+    v = rng.standard_normal(768).astype(np.float32)
+    mid = slerp(v, v + 1e-6 * rng.standard_normal(768).astype(np.float32), 0.5)
+    assert np.isfinite(mid).all()

@@ -76,6 +76,12 @@ class DenoiserConfig:
     mlp_class: str = "sep_conv"
     n_experts: int = 8
     expert_capacity_factor: float = 1.25
+    # beyond reference (README.md "Outpainting model" section): width of
+    # the model's INPUT latent; None = n_channels (plain denoiser). The
+    # outpainting fine-tune widens the patchify projection to
+    # 2*n_channels (noisy latent + masked context latent) with the new
+    # rows zero-initialised — models/denoiser.expand_input_channels.
+    input_channels: Optional[int] = None
 
 
 @dataclass
@@ -192,6 +198,15 @@ class TrainConfig:
     # weight of the Switch load-balancing auxiliary loss, added to the
     # MSE when DenoiserConfig.mlp_class == "moe" (models/moe.py)
     moe_aux_weight: float = 0.01
+    # outpainting fine-tune (reference README.md "Outpainting model"):
+    # requires DenoiserConfig.input_channels == 2*n_channels. Each step
+    # the model input becomes concat([x_noisy, context]) where context
+    # is the clean latent masked to a random edge strip (random side,
+    # random visible fraction; ~10% of examples get zero context so
+    # plain generation keeps working). Start from a trained checkpoint
+    # widened with models.denoiser.expand_input_channels via
+    # train.main(config, init_params=...).
+    outpaint: bool = False
     # graceful preemption: on SIGTERM/SIGINT finish the current step,
     # save a resumable checkpoint (if save_model) and return cleanly
     # (train.GracefulShutdown; no reference equivalent — recovery there

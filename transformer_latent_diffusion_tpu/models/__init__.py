@@ -10,6 +10,7 @@ from transformer_latent_diffusion_tpu.models.denoiser import (  # noqa: F401
     MLP_CLASSES,
     Denoiser,
     DenoiserTransBlock,
+    expand_input_channels,
     patchify,
     resize_pos_embed,
     unpatchify,

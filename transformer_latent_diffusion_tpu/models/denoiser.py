@@ -184,6 +184,12 @@ class Denoiser(nn.Module):
     n_experts: int = 8
     expert_capacity_factor: float = 1.25
     ep_mesh: Any = None  # expert-parallel mesh (experts over 'model')
+    # input latent width; None = n_channels. The outpainting fine-tune
+    # (reference README.md "Outpainting model") feeds 2*n_channels
+    # (noisy latent + masked context); the forward pass is shape-driven
+    # (patchify + Dense infer the width), this field records the
+    # contract for init/sampling/training glue.
+    input_channels: Optional[int] = None
 
     @nn.compact
     def __call__(self, x, noise_level, label, deterministic: bool = True,
@@ -224,6 +230,38 @@ class Denoiser(nn.Module):
             name="denoiser_trans_block",
         )(x, cond, deterministic=deterministic,
           pos_embed_override=pos_embed_override)
+
+
+def expand_input_channels(params, old_channels: int, new_channels: int,
+                          patch_size: int):
+    """Zero-init patchify-projection surgery for the outpainting model.
+
+    The reference author widened the patchify conv from 4 to 8 input
+    channels "and initialize[d] the mask channels parameters to zero;
+    the rest of the architecture remained the same" (reference
+    README.md, "Outpainting model" section — notebook-only there).
+    Here patchify flattens (c, p1, p2) channel-major, so the original
+    channels occupy the FIRST old_channels*p*p rows of the patch_proj
+    kernel; the appended rows are zeros, making the widened model's
+    output bit-equal to the original's for ANY context content until
+    fine-tuning moves the new rows. Returns a new params tree.
+    """
+    if new_channels < old_channels:
+        raise ValueError(f"cannot shrink input: {old_channels} -> "
+                         f"{new_channels}")
+    pp = patch_size * patch_size
+    params = jax.tree_util.tree_map(lambda x: x, params)  # deep-copy dicts
+    block = params["denoiser_trans_block"]
+    k = block["patch_proj"]["kernel"]
+    if k.shape[0] != old_channels * pp:
+        raise ValueError(f"patch_proj kernel has {k.shape[0]} input rows, "
+                         f"expected {old_channels}*{pp}")
+    block["patch_proj"] = dict(
+        block["patch_proj"],
+        kernel=jnp.zeros((new_channels * pp, k.shape[1]), k.dtype)
+        .at[: old_channels * pp].set(k),
+    )
+    return params
 
 
 def resize_pos_embed(pos_table: jax.Array, old_grid: int, new_grid: int) -> jax.Array:

@@ -94,9 +94,10 @@ class DiffusionGenerator:
     _compiled: Dict[Any, Any] = field(default_factory=dict, repr=False)
 
     def _sample_fn(self, n_steps: int, shape: Tuple[int, ...],
-                   cache_interval: int = 1, masked: bool = False):
+                   cache_interval: int = 1, masked: bool = False,
+                   ctx_channels: int = 0):
         """Build (and cache) the jitted scan for a given step-count/shape."""
-        key = (n_steps, shape, cache_interval, masked)
+        key = (n_steps, shape, cache_interval, masked, ctx_channels)
         if key in self._compiled:
             return self._compiled[key]
 
@@ -123,8 +124,11 @@ class DiffusionGenerator:
         # the measured-good regime. Mesh-sharded generation always takes
         # the XLA path (partitionable by GSPMD).
         hw = shape[-1] // getattr(model, "patch_size", 1)
+        # the fused engine's packed weights assume the plain n_channels
+        # patchify width — widened-input (outpainting) models take the
+        # linen path
         use_fast = (fast_apply is not None and hw <= 16
-                    and self.mesh is None)
+                    and self.mesh is None and ctx_channels == 0)
 
         def _cfg_combine(cond, uncond, class_guidance):
             # class_guidance may be a scalar (reference semantics) or a
@@ -136,10 +140,17 @@ class DiffusionGenerator:
                 g = g.reshape(-1, *([1] * (cond.ndim - 1)))
             return g * cond + (1.0 - g) * uncond
 
-        def pred_x0(prepared, x_t, labels_cat, noise_level, class_guidance):
-            """Double-batch CFG denoiser call (reference diffusion.py:94-103)."""
+        def pred_x0(prepared, x_t, labels_cat, noise_level, class_guidance,
+                    context=None):
+            """Double-batch CFG denoiser call (reference diffusion.py:94-103).
+
+            context: extra input channels for a widened (outpainting)
+            model, concatenated after the noisy latent on BOTH CFG
+            halves (the context is conditioning, not guided)."""
             num = x_t.shape[0]
-            x2 = jnp.concatenate([x_t, x_t], axis=0)
+            xin = (x_t if context is None
+                   else jnp.concatenate([x_t, context], axis=1))
+            x2 = jnp.concatenate([xin, xin], axis=0)
             noises = jnp.full((2 * num, 1), noise_level, dtype=x_t.dtype)
             if use_fast and hasattr(fast_apply, "prepare"):
                 x0 = fast_apply.apply_prepared(prepared, x2, noises, labels_cat)
@@ -172,13 +183,15 @@ class DiffusionGenerator:
             return _cfg_combine(x0[:num], x0[num:], class_guidance), delta
 
         @jax.jit
-        def run(params, x_init, labels_cat, noise_levels, c1, c2, class_guidance):
+        def run(params, x_init, labels_cat, noise_levels, c1, c2,
+                class_guidance, context=None):
             prepared = prepare(params)
 
             def step(carry, inputs):
                 x_t, x0_prev = carry
                 curr, nxt, a, b = inputs
-                x0 = pred_x0(prepared, x_t, labels_cat, curr, class_guidance)
+                x0 = pred_x0(prepared, x_t, labels_cat, curr, class_guidance,
+                             context)
                 d = a * x0 + b * x0_prev
                 x_t = ((curr - nxt) * d + nxt * x_t) / curr
                 return (x_t, x0), None
@@ -216,12 +229,13 @@ class DiffusionGenerator:
                     step, (x_init, jnp.zeros_like(x_init)), xs, length=n_steps
                 )
             # final extra denoise at the last level (reference diffusion.py:85)
-            x0 = pred_x0(prepared, x_t, labels_cat, noise_levels[-1], class_guidance)
+            x0 = pred_x0(prepared, x_t, labels_cat, noise_levels[-1],
+                         class_guidance, context)
             return x0
 
         @jax.jit
         def run_masked(params, x_init, labels_cat, noise_levels, c1, c2,
-                       class_guidance, mask, init, eps):
+                       class_guidance, mask, init, eps, context=None):
             """Inpainting scan: after each update the keep region (mask=0)
             is pinned back onto the forward-corruption trajectory
             `sigma*eps + (1-sigma)*init` of the original latent at the
@@ -232,7 +246,8 @@ class DiffusionGenerator:
             def step(carry, inputs):
                 x_t, x0_prev = carry
                 curr, nxt, a, b = inputs
-                x0 = pred_x0(prepared, x_t, labels_cat, curr, class_guidance)
+                x0 = pred_x0(prepared, x_t, labels_cat, curr, class_guidance,
+                             context)
                 d = a * x0 + b * x0_prev
                 x_t = ((curr - nxt) * d + nxt * x_t) / curr
                 x_keep = nxt * eps + (1.0 - nxt) * init
@@ -243,7 +258,7 @@ class DiffusionGenerator:
             (x_t, _), _ = jax.lax.scan(
                 step, (x_init, jnp.zeros_like(x_init)), xs, length=n_steps)
             x0 = pred_x0(prepared, x_t, labels_cat, noise_levels[-1],
-                         class_guidance)
+                         class_guidance, context)
             return mask * x0 + (1.0 - mask) * init
 
         self._compiled[key] = run_masked if masked else run
@@ -291,6 +306,7 @@ class DiffusionGenerator:
         init_latents=None,
         strength: float = 1.0,
         mask=None,
+        context_latents=None,
         clamp_first: bool = True,
     ):
         """Generate images via reverse diffusion.
@@ -315,6 +331,11 @@ class DiffusionGenerator:
           after every step the keep region is pinned to the original
           latent's forward-corruption trajectory (same fixed noise draw
           as the start), and the final output keeps it exactly.
+        - context_latents: extra conditioning channels for a
+          widened-input (outpainting) model — broadcastable to
+          (num_imgs, input_channels - n_channels, S, S), concatenated
+          after the noisy latent at EVERY denoiser call on both CFG
+          halves. A widened model sampled without context gets zeros.
         - clamp_first=False skips the reference's first-level 0.99 clamp
           on an explicitly-passed noise_levels (internal/testing knob).
 
@@ -356,6 +377,21 @@ class DiffusionGenerator:
             sigma0 = float(noise_levels[0])
             init = jnp.asarray(init_latents, dtype=jnp.float32)
             x_t = sigma0 * noise + (1.0 - sigma0) * init
+        n_ch = getattr(self.model, "n_channels", x_t.shape[1])
+        in_ch = getattr(self.model, "input_channels", None) or n_ch
+        ctx = None
+        if in_ch > n_ch:
+            extra = (x_t.shape[0], in_ch - n_ch) + x_t.shape[2:]
+            if context_latents is None:
+                # widened model without context: zeros = "fully unknown"
+                ctx = jnp.zeros(extra, dtype=jnp.float32)
+            else:
+                ctx = jnp.broadcast_to(
+                    jnp.asarray(context_latents, dtype=jnp.float32), extra)
+        elif context_latents is not None:
+            raise ValueError(
+                "context_latents requires a widened-input model "
+                "(DenoiserConfig.input_channels > n_channels)")
         labels = jnp.asarray(labels, dtype=jnp.float32)
         uncond = (jnp.zeros_like(labels) if negative_labels is None
                   else jnp.broadcast_to(
@@ -375,6 +411,8 @@ class DiffusionGenerator:
 
             x_t = jax.device_put(x_t, batch_sharding(self.mesh))
             labels_cat = jax.device_put(labels_cat, batch_sharding(self.mesh))
+            if ctx is not None:
+                ctx = jax.device_put(ctx, batch_sharding(self.mesh))
             # place params once per distinct tree (memoized on identity);
             # re-placing 101M params on every request would re-upload the
             # whole tree to the mesh each call. param_shardings applies
@@ -395,7 +433,8 @@ class DiffusionGenerator:
         if mask is not None:
             cache_interval = 1  # block caching not composed with inpainting
         run = self._sample_fn(n_steps, tuple(x_t.shape), cache_interval,
-                              masked=mask is not None)
+                              masked=mask is not None,
+                              ctx_channels=0 if ctx is None else ctx.shape[1])
         args = (
             self.params,
             x_t,
@@ -412,6 +451,8 @@ class DiffusionGenerator:
             m = jnp.broadcast_to(jnp.asarray(mask, dtype=jnp.float32),
                                  x_t.shape)
             args += (m, init, noise)
+        if ctx is not None:
+            args += (ctx,)
         x0 = run(*args)
 
         # latent "editing": sharpness / brightness channel shifts

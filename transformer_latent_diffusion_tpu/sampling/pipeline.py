@@ -15,6 +15,7 @@ from __future__ import annotations
 import math
 import os
 from dataclasses import asdict
+from typing import Optional
 
 import jax
 import numpy as np
@@ -29,6 +30,7 @@ from transformer_latent_diffusion_tpu.models.vae import FlaxVae
 from transformer_latent_diffusion_tpu.sampling.diffusion import DiffusionGenerator
 from transformer_latent_diffusion_tpu.utils import (
     init_denoiser_params,
+    slerp,
     uint8_grid_to_pil,
 )
 
@@ -192,7 +194,12 @@ class DiffusionTransformer:
         )
 
         fast_apply = None
-        if use_pallas and sep_conv and jax.default_backend() not in ("cpu",):
+        # widened-input (outpainting) models take the linen path: the
+        # fused engine packs the plain n_channels patchify width
+        plain_input = cfg.denoiser_cfg.input_channels in (
+            None, cfg.denoiser_cfg.n_channels)
+        if (use_pallas and sep_conv and plain_input
+                and jax.default_backend() not in ("cpu",)):
             from transformer_latent_diffusion_tpu.models.fast_denoiser import (
                 make_fused_apply,
             )
@@ -339,6 +346,185 @@ class DiffusionTransformer:
             strength=strength,
         )
         return uint8_grid_to_pil(np.asarray(out), nrow=nrow, padding=4)
+
+    def outpaint(
+        self,
+        image,
+        prompt: str,
+        n_tiles: int = 1,
+        direction: str = "right",
+        overlap: float = 0.5,
+        class_guidance=6,
+        seed=11,
+        n_iter=15,
+        negative_prompt=None,
+    ):
+        """Extend `image` by `n_tiles` model-sized tiles toward
+        `direction` (the reference README's "Outpainting model" — an
+        8-input-channel fine-tune "applied repeatedly to generate a
+        somewhat consistent scenery"; notebook-only there).
+
+        Requires a widened-input denoiser
+        (DenoiserConfig.input_channels == 2*n_channels), e.g. a trained
+        checkpoint expanded with models.denoiser.expand_input_channels
+        and fine-tuned with TrainConfig.outpaint. Each new tile's
+        context channels hold the `overlap` fraction of the previous
+        tile's latent at the seam (zeros elsewhere = unknown); the
+        panorama keeps the original pixels and appends each tile's
+        non-overlapping part. Returns a PIL image.
+        """
+        from PIL import Image
+
+        model = self.diffuser.model
+        in_ch = getattr(model, "input_channels", None) or model.n_channels
+        if in_ch <= model.n_channels:
+            raise ValueError(
+                "outpaint requires a widened-input model "
+                "(DenoiserConfig.input_channels == 2*n_channels); expand "
+                "a trained checkpoint with "
+                "models.denoiser.expand_input_channels and fine-tune")
+        if direction not in ("right", "left", "down", "up"):
+            raise ValueError(f"unknown direction {direction!r}")
+        s = model.image_size
+        k = int(round(overlap * s))
+        if not 0 < k < s:
+            raise ValueError(
+                f"overlap={overlap} must leave 0 < overlap < 1 of the "
+                f"{s}-wide latent grid shared across the seam")
+        axis = -1 if direction in ("right", "left") else -2
+        at_end = direction in ("right", "down")  # seam side of PREV tile
+
+        lat = np.asarray(self._encode_init_image(image))
+        if lat.shape[0] != 1:
+            raise ValueError("outpaint takes a single image")
+        labels, negative_labels = self._encode_prompts(
+            prompt, negative_prompt, 1)
+
+        # base canvas pixels (keep the actual input, not a VAE round-trip)
+        raw = np.asarray(image)
+        if raw.ndim == 4:
+            raw = raw[0]
+        if np.issubdtype(raw.dtype, np.integer):
+            base = raw.astype(np.uint8)
+        else:
+            base = ((np.clip(raw, -1.0, 1.0) + 1.0) * 127.5 + 0.5
+                    ).astype(np.uint8)
+
+        f = base.shape[0] // s  # VAE spatial factor (square: validated above)
+        k_px = k * f
+        pan = base
+        prev = lat
+        for i in range(n_tiles):
+            ctx = np.zeros_like(prev)
+            src = [slice(None)] * prev.ndim
+            dst = [slice(None)] * prev.ndim
+            # the new tile's seam-facing edge sees prev's opposite edge
+            src[axis] = slice(-k, None) if at_end else slice(0, k)
+            dst[axis] = slice(0, k) if at_end else slice(-k, None)
+            ctx[tuple(dst)] = prev[tuple(src)]
+
+            img_u8, x0 = self.diffuser.generate(
+                labels=labels,
+                num_imgs=1,
+                img_size=s,
+                class_guidance=class_guidance,
+                seed=seed + i,
+                n_iter=n_iter,
+                exponent=1,
+                scale_factor=self._SCALE_FACTOR,
+                sharp_f=0,
+                bright_f=0,
+                output="uint8",
+                negative_labels=negative_labels,
+                context_latents=ctx,
+            )
+            tile = np.asarray(img_u8)[0]  # (H, W, 3) uint8
+            prev = np.asarray(x0)
+
+            keep = [slice(None)] * 3
+            pix_axis = 1 if axis == -1 else 0
+            keep[pix_axis] = (slice(k_px, None) if at_end
+                              else slice(0, tile.shape[pix_axis] - k_px))
+            pieces = ([pan, tile[tuple(keep)]] if at_end
+                      else [tile[tuple(keep)], pan])
+            pan = np.concatenate(pieces, axis=pix_axis)
+        return Image.fromarray(pan)
+
+    def interpolate(
+        self,
+        prompt_a: str,
+        prompt_b: Optional[str] = None,
+        n_frames: int = 8,
+        class_guidance=6,
+        seed=11,
+        seed_b: Optional[int] = None,
+        n_iter=15,
+        negative_prompt=None,
+    ):
+        """Interpolation strip (the reference README's "Clip
+        interpolation Examples", README.md:10-18 — produced in the
+        author's notebooks there; a first-class API here).
+
+        Two axes, composable:
+        - prompt_b: morph the conditioning — the two pooled CLIP
+          embeddings are spherically interpolated (utils.slerp; CLIP
+          embeddings live on a sphere, lerp midpoints lose norm).
+        - seed_b: morph the DDIM latent — the two seeded gaussian inits
+          are slerped (the reference README notes DDIM's deterministic
+          noise->image map makes the normal latent space interpolable;
+          slerp keeps each frame's radius gaussian-typical).
+        With only prompt_b, every frame shares seed's init noise; with
+        only seed_b, every frame shares prompt_a's embedding. All frames
+        run in a single scan call. Returns a one-row PIL strip, frame
+        0 = (prompt_a, seed), last = (prompt_b, seed_b).
+        """
+        if n_frames < 2:
+            raise ValueError(f"n_frames must be >= 2, got {n_frames}")
+        if prompt_b is None and seed_b is None:
+            raise ValueError("nothing to interpolate: give prompt_b "
+                             "and/or seed_b")
+        ts = np.linspace(0.0, 1.0, n_frames)
+        if prompt_b is not None:
+            emb = np.asarray(
+                encode_text([prompt_a, prompt_b], self.clip_model),
+                np.float32)
+            labels = slerp(emb[0], emb[1], ts)
+        else:
+            la = np.asarray(encode_text([prompt_a], self.clip_model),
+                            np.float32)
+            labels = np.broadcast_to(la[0], (n_frames, la.shape[-1]))
+        negative_labels = None
+        if negative_prompt is not None:
+            negative_labels = np.asarray(encode_text(
+                [negative_prompt] * n_frames, self.clip_model))
+
+        size = self.diffuser.model.image_size
+        noise = np.asarray(self.diffuser.initialize_image(
+            None, 1, size, seed))  # (1,C,S,S)
+        if seed_b is not None:
+            noise_b = np.asarray(self.diffuser.initialize_image(
+                None, 1, size, seed_b))
+            seeds = slerp(noise.ravel(), noise_b.ravel(), ts).reshape(
+                (n_frames,) + noise.shape[1:])
+        else:
+            seeds = np.broadcast_to(noise, (n_frames,) + noise.shape[1:])
+
+        out, _ = self.diffuser.generate(
+            labels=labels,
+            num_imgs=n_frames,
+            img_size=size,
+            class_guidance=class_guidance,
+            seed=seed,
+            seeds=seeds,
+            n_iter=n_iter,
+            exponent=1,
+            scale_factor=self._SCALE_FACTOR,
+            sharp_f=0,
+            bright_f=0,
+            output="uint8",
+            negative_labels=negative_labels,
+        )
+        return uint8_grid_to_pil(np.asarray(out), nrow=n_frames, padding=4)
 
     def inpaint(
         self,

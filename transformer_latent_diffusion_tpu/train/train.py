@@ -198,9 +198,35 @@ def _build_train_step(model: Denoiser, optimizer, train_cfg, vae_scale_factor,
     bit-equal) to the GSPMD path. Replaces the reference's
     Accelerate/DDP gradient all-reduce (train.py:109,169)."""
     accum = max(1, train_cfg.grad_accum_steps)
+    outpaint = bool(getattr(train_cfg, "outpaint", False))
+
+    def _outpaint_context(rng, x):
+        """Random edge-strip context for the outpainting fine-tune
+        (reference README.md "Outpainting model"): per example, a random
+        side (left/right/top/bottom) and a random visible fraction of
+        the clean latent stay visible (context = m * x); the model
+        learns to extend into the hidden part. ~10% of examples get
+        zero context so zero-context (plain) sampling keeps working."""
+        n, _, h, w = x.shape
+        r_side, r_frac, r_zero = jax.random.split(rng, 3)
+        side = jax.random.randint(r_side, (n,), 0, 4)
+        frac = jax.random.uniform(r_frac, (n, 1), minval=0.25, maxval=0.75)
+        col = jnp.arange(w)[None, :]
+        row = jnp.arange(h)[None, :]
+        horiz = jnp.where((side < 1)[:, None],  # 0: left strip visible
+                          col < jnp.round(frac * w),
+                          col >= w - jnp.round(frac * w))
+        vert = jnp.where((side < 3)[:, None],  # 2: top strip visible
+                         row < jnp.round(frac * h),
+                         row >= h - jnp.round(frac * h))
+        m = jnp.where((side < 2)[:, None, None],
+                      horiz[:, None, :], vert[:, :, None])  # (n,h,w)
+        m = jnp.where((jax.random.uniform(r_zero, (n,)) < 0.1)
+                      [:, None, None], 0.0, m.astype(x.dtype))
+        return m[:, None, :, :] * x
 
     def loss_fn(params, x, y, rng):
-        r_beta, r_noise, r_drop, r_dropout = jax.random.split(rng, 4)
+        r_beta, r_noise, r_drop, r_dropout, r_ctx = jax.random.split(rng, 5)
         n = x.shape[0]
         x = x / vae_scale_factor
         noise_level = sample_beta(
@@ -209,6 +235,12 @@ def _build_train_step(model: Denoiser, optimizer, train_cfg, vae_scale_factor,
         nl = noise_level[:, :, None, None]
         noise = jax.random.normal(r_noise, x.shape, dtype=x.dtype)
         x_noisy = nl * noise + (1.0 - nl) * x
+        if outpaint:
+            # widened input: noisy latent + masked clean context; the
+            # loss stays full-image MSE ("the rest of the architecture
+            # remained the same" — reference README)
+            x_noisy = jnp.concatenate(
+                [x_noisy, _outpaint_context(r_ctx, x)], axis=1)
 
         # CFG label dropout p=0.15 -> zero vector (reference train.py:136-138)
         keep = jax.random.uniform(r_drop, (n, 1)) >= 0.15
@@ -366,6 +398,22 @@ def main(config: ModelConfig, init_params: Optional[Any] = None) -> Dict[str, An
     # tokens), but past its gate — hi-res fine-tunes — it measures 1.18x
     # over XLA attention (scripts/probe_highres_train.py: 66.5 -> 78.4
     # samples/s at 512px, batch 64).
+    in_ch = (getattr(denoiser_config, "input_channels", None)
+             or denoiser_config.n_channels)
+    if getattr(train_config, "outpaint", False):
+        if in_ch != 2 * denoiser_config.n_channels:
+            raise ValueError(
+                f"outpaint=True needs DenoiserConfig.input_channels == "
+                f"2*n_channels ({2 * denoiser_config.n_channels}), got "
+                f"{in_ch}; widen a trained checkpoint with "
+                f"models.denoiser.expand_input_channels and pass it as "
+                f"init_params")
+    elif in_ch != denoiser_config.n_channels:
+        raise ValueError(
+            f"input_channels={in_ch} != n_channels="
+            f"{denoiser_config.n_channels} but outpaint=False: the train "
+            f"step would feed the model {denoiser_config.n_channels}"
+            f"-channel latents")
     n_tokens = (denoiser_config.image_size // denoiser_config.patch_size) ** 2
     remat = (train_config.remat if train_config.remat is not None
              else n_tokens >= 2048)

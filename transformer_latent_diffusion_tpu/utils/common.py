@@ -15,7 +15,8 @@ import numpy as np
 def init_denoiser_params(model, cfg, seed: int = 0):
     """Initialize denoiser params under jit (eager init is ~10x slower)."""
     key = jax.random.PRNGKey(seed)
-    x = jnp.zeros((1, cfg.n_channels, cfg.image_size, cfg.image_size))
+    in_ch = getattr(cfg, "input_channels", None) or cfg.n_channels
+    x = jnp.zeros((1, in_ch, cfg.image_size, cfg.image_size))
     noise = jnp.zeros((1, 1))
     label = jnp.zeros((1, cfg.text_emb_size))
     return jax.jit(model.init)(key, x, noise, label)["params"]
@@ -87,3 +88,29 @@ def to_pil(img_chw: np.ndarray):
     if arr.shape[0] == 1:
         return Image.fromarray(arr[0], mode="L")
     return Image.fromarray(np.transpose(arr, (1, 2, 0)), mode="RGB")
+
+
+def slerp(a: np.ndarray, b: np.ndarray, t) -> np.ndarray:
+    """Spherical linear interpolation between two vectors.
+
+    `t` may be a scalar or a 1-D array of interpolation points; the
+    result has shape (*t.shape, dim). Interpolates along the great
+    circle through a/|a| and b/|b| while linearly interpolating the
+    magnitudes, so unit-norm inputs stay unit-norm (pooled CLIP
+    embeddings live on a sphere — plain lerp would pass through
+    low-norm midpoints the text tower never produces). Near-parallel
+    inputs fall back to lerp (sin(omega) -> 0 is ill-conditioned).
+    """
+    a = np.asarray(a, dtype=np.float32)
+    b = np.asarray(b, dtype=np.float32)
+    t = np.asarray(t, dtype=np.float32)[..., None]
+    na = float(np.linalg.norm(a))
+    nb = float(np.linalg.norm(b))
+    cos = float(np.clip(np.dot(a / na, b / nb), -1.0, 1.0))
+    omega = float(np.arccos(cos))
+    if omega < 1e-4:
+        return (1.0 - t) * a + t * b
+    so = np.sin(omega)
+    unit = (np.sin((1.0 - t) * omega) * (a / na)
+            + np.sin(t * omega) * (b / nb)) / so
+    return ((1.0 - t) * na + t * nb) * unit
