@@ -1,0 +1,81 @@
+"""Compute FID between two sets of features or images.
+
+Ships the reference's open TODO ("add script to compute FID",
+reference README.md TODOS section). Extractor-agnostic:
+
+  # literature-comparable FID: bring your own extractor features
+  python scripts/compute_fid.py --features-a real.npy --features-b fake.npy
+
+  # tower-free relative metric: VAE-latent FID between two image sets
+  python scripts/compute_fid.py --images-a real_imgs.npy \
+      --images-b gen_imgs.npy --vae-npz towers/vae.npz
+
+Feature files are (N, D) .npy arrays. Image files are (N, 3, H, W)
+float [-1,1] or uint8 .npy arrays. Prints one JSON line.
+"""
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np  # noqa: E402
+
+
+def _load_images(path):
+    arr = np.load(path)
+    if arr.ndim != 4 or arr.shape[1] != 3:
+        raise ValueError(f"{path}: expected (N,3,H,W), got {arr.shape}")
+    if np.issubdtype(arr.dtype, np.integer):
+        arr = arr.astype(np.float32) / 127.5 - 1.0
+    return arr
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--features-a", help="(N,D) .npy of extractor features")
+    ap.add_argument("--features-b")
+    ap.add_argument("--images-a", help="(N,3,H,W) .npy; VAE-latent features")
+    ap.add_argument("--images-b")
+    ap.add_argument("--vae-npz", default=None,
+                    help="converted VAE weights (scripts/convert_towers.py);"
+                         " random-init without (relative numbers only)")
+    ap.add_argument("--batch-size", type=int, default=32)
+    args = ap.parse_args()
+
+    from transformer_latent_diffusion_tpu.utils.fid import (
+        compute_fid,
+        vae_latent_features,
+    )
+
+    if args.features_a and args.features_b:
+        fa, fb = np.load(args.features_a), np.load(args.features_b)
+        kind = "feature_fid"
+    elif args.images_a and args.images_b:
+        from transformer_latent_diffusion_tpu.models.torch_compat import (
+            load_vae_params,
+        )
+        from transformer_latent_diffusion_tpu.models.vae import FlaxVae
+
+        params = None
+        if args.vae_npz:
+            from transformer_latent_diffusion_tpu.configs import VaeConfig
+
+            params = load_vae_params(args.vae_npz, VaeConfig())
+        vae = FlaxVae.create(params=params)
+        fa = vae_latent_features(_load_images(args.images_a), vae,
+                                 args.batch_size)
+        fb = vae_latent_features(_load_images(args.images_b), vae,
+                                 args.batch_size)
+        kind = "vae_latent_fid"
+    else:
+        ap.error("give --features-a/--features-b or --images-a/--images-b")
+
+    print(json.dumps({"metric": kind, "value": compute_fid(fa, fb),
+                      "n_a": int(fa.shape[0]), "n_b": int(fb.shape[0])}))
+
+
+if __name__ == "__main__":
+    main()

@@ -115,3 +115,52 @@ def test_slerp():
     v = rng.standard_normal(768).astype(np.float32)
     mid = slerp(v, v + 1e-6 * rng.standard_normal(768).astype(np.float32), 0.5)
     assert np.isfinite(mid).all()
+
+
+def test_frechet_distance_analytic():
+    """FID of identical sets is ~0; two gaussians match the closed form
+    |dmu|^2 + tr(C1 + C2 - 2(C1^0.5 C2 C1^0.5)^0.5) (here: diagonal)."""
+    from transformer_latent_diffusion_tpu.utils.fid import (
+        compute_fid,
+        frechet_distance,
+        gaussian_stats,
+    )
+
+    rng = np.random.default_rng(0)
+    a = rng.standard_normal((4000, 8))
+    assert abs(compute_fid(a, a.copy())) < 1e-8
+
+    # closed form for diagonal gaussians: sum((s1 - s2)^2) + |dmu|^2
+    mu1, c1 = np.zeros(3), np.diag([1.0, 4.0, 9.0])
+    mu2, c2 = np.array([1.0, 0.0, 2.0]), np.diag([1.0, 1.0, 1.0])
+    want = (1.0 + 4.0) + ((1 - 1) ** 2 + (2 - 1) ** 2 + (3 - 1) ** 2)
+    np.testing.assert_allclose(frechet_distance(mu1, c1, mu2, c2), want,
+                               atol=1e-10)
+
+    # sampled estimate converges to the analytic value
+    b = rng.standard_normal((4000, 3)) * np.array([1.0, 2.0, 3.0])
+    c = rng.standard_normal((4000, 3)) + mu2
+    est = compute_fid(b, c)
+    assert abs(est - want) < 0.5, est
+
+    mu, cov = gaussian_stats(b)
+    assert mu.shape == (3,) and cov.shape == (3, 3)
+
+
+def test_vae_latent_features():
+    from transformer_latent_diffusion_tpu.models.vae import FlaxVae
+    from transformer_latent_diffusion_tpu.utils.fid import (
+        compute_fid,
+        vae_latent_features,
+    )
+
+    vae = FlaxVae.create(block_out_channels=(8, 16), layers_per_block=1)
+    rng = np.random.default_rng(0)
+    imgs = rng.uniform(-1, 1, (6, 3, 32, 32)).astype(np.float32)
+    feats = vae_latent_features(imgs, vae, batch_size=4)
+    assert feats.shape == (6, 4 * 16 * 16)
+    # deterministic (posterior mean, no sampling)
+    np.testing.assert_array_equal(
+        feats, vae_latent_features(imgs, vae, batch_size=3))
+    shifted = vae_latent_features(np.clip(imgs + 0.5, -1, 1), vae, 4)
+    assert compute_fid(feats, shifted) > 0
