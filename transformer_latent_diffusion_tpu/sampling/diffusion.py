@@ -95,9 +95,10 @@ class DiffusionGenerator:
 
     def _sample_fn(self, n_steps: int, shape: Tuple[int, ...],
                    cache_interval: int = 1, masked: bool = False,
-                   ctx_channels: int = 0):
+                   ctx_channels: int = 0, fresh_noise: bool = False):
         """Build (and cache) the jitted scan for a given step-count/shape."""
-        key = (n_steps, shape, cache_interval, masked, ctx_channels)
+        key = (n_steps, shape, cache_interval, masked, ctx_channels,
+               fresh_noise)
         if key in self._compiled:
             return self._compiled[key]
 
@@ -184,16 +185,28 @@ class DiffusionGenerator:
 
         @jax.jit
         def run(params, x_init, labels_cat, noise_levels, c1, c2,
-                class_guidance, context=None):
+                class_guidance, context=None, noise_key=None):
             prepared = prepare(params)
 
             def step(carry, inputs):
                 x_t, x0_prev = carry
-                curr, nxt, a, b = inputs
+                if fresh_noise:
+                    i, curr, nxt, a, b = inputs
+                else:
+                    curr, nxt, a, b = inputs
                 x0 = pred_x0(prepared, x_t, labels_cat, curr, class_guidance,
                              context)
                 d = a * x0 + b * x0_prev
-                x_t = ((curr - nxt) * d + nxt * x_t) / curr
+                if fresh_noise:
+                    # consistency-style multistep: re-noise the x0
+                    # estimate with FRESH noise to the next level
+                    # (x_t is discarded — the model is its own solver)
+                    eps = jax.random.normal(
+                        jax.random.fold_in(noise_key, i), x_t.shape,
+                        dtype=x_t.dtype)
+                    x_t = nxt * eps + (1.0 - nxt) * d
+                else:
+                    x_t = ((curr - nxt) * d + nxt * x_t) / curr
                 return (x_t, x0), None
 
             def step_cached(carry, inputs):
@@ -225,8 +238,11 @@ class DiffusionGenerator:
                     (jnp.arange(n_steps),) + xs, length=n_steps,
                 )
             else:
+                step_xs = ((jnp.arange(n_steps),) + xs if fresh_noise
+                           else xs)
                 (x_t, _), _ = jax.lax.scan(
-                    step, (x_init, jnp.zeros_like(x_init)), xs, length=n_steps
+                    step, (x_init, jnp.zeros_like(x_init)), step_xs,
+                    length=n_steps
                 )
             # final extra denoise at the last level (reference diffusion.py:85)
             x0 = pred_x0(prepared, x_t, labels_cat, noise_levels[-1],
@@ -307,6 +323,7 @@ class DiffusionGenerator:
         strength: float = 1.0,
         mask=None,
         context_latents=None,
+        fresh_noise: bool = False,
         clamp_first: bool = True,
     ):
         """Generate images via reverse diffusion.
@@ -336,6 +353,14 @@ class DiffusionGenerator:
           (num_imgs, input_channels - n_channels, S, S), concatenated
           after the noisy latent at EVERY denoiser call on both CFG
           halves. A widened model sampled without context gets zeros.
+        - fresh_noise=True: consistency-style multistep update — each
+          step re-noises the x0 estimate to the next level with FRESH
+          per-step noise (x_next = sigma'*eps_new + (1-sigma')*x0)
+          instead of the deterministic DDIM reuse of x_t. This is the
+          multistep sampler for consistency-distilled models
+          (train/distill.py); on an ordinary denoiser it is ancestral-
+          style stochastic sampling. Deterministic per seed. DDIM
+          update only (use_ddpm_plus must be False); excludes mask.
         - clamp_first=False skips the reference's first-level 0.99 clamp
           on an explicitly-passed noise_levels (internal/testing knob).
 
@@ -371,6 +396,16 @@ class DiffusionGenerator:
         if mask is not None and init_latents is None:
             raise ValueError("mask requires init_latents (inpainting is "
                              "masked img2img)")
+        if fresh_noise:
+            if mask is not None:
+                raise ValueError("fresh_noise does not compose with "
+                                 "inpainting (the keep-region pinning "
+                                 "assumes the deterministic DDIM update)")
+            if use_ddpm_plus:
+                raise ValueError("fresh_noise replaces the deterministic "
+                                 "update entirely; pass use_ddpm_plus="
+                                 "False (the DPM++ multistep history is "
+                                 "meaningless across re-noising)")
         noise = self.initialize_image(seeds, num_imgs, img_size, seed)
         x_t = noise
         if init_latents is not None:
@@ -430,11 +465,12 @@ class DiffusionGenerator:
                         tp=self.pipeline_fn is None))
                 self._mesh_placed_params = self.params
 
-        if mask is not None:
-            cache_interval = 1  # block caching not composed with inpainting
+        if mask is not None or fresh_noise:
+            cache_interval = 1  # block caching: plain DDIM/DPM scans only
         run = self._sample_fn(n_steps, tuple(x_t.shape), cache_interval,
                               masked=mask is not None,
-                              ctx_channels=0 if ctx is None else ctx.shape[1])
+                              ctx_channels=0 if ctx is None else ctx.shape[1],
+                              fresh_noise=fresh_noise)
         args = (
             self.params,
             x_t,
@@ -451,9 +487,13 @@ class DiffusionGenerator:
             m = jnp.broadcast_to(jnp.asarray(mask, dtype=jnp.float32),
                                  x_t.shape)
             args += (m, init, noise)
+        kw = {}
         if ctx is not None:
-            args += (ctx,)
-        x0 = run(*args)
+            kw["context"] = ctx
+        if fresh_noise:
+            # independent stream from the init-noise draw at the same seed
+            kw["noise_key"] = jax.random.fold_in(jax.random.PRNGKey(seed), 1)
+        x0 = run(*args, **kw)
 
         # latent "editing": sharpness / brightness channel shifts
         # (reference diffusion.py:87-89). Under an inpainting mask the

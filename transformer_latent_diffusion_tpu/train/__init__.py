@@ -8,3 +8,7 @@ from transformer_latent_diffusion_tpu.train.train import (  # noqa: F401
     main,
     update_ema,
 )
+from transformer_latent_diffusion_tpu.train.distill import (  # noqa: F401
+    consistency_apply,
+    distill_consistency,
+)
