@@ -172,3 +172,35 @@ def test_generate_image_with_acceleration_knobs(client):
     assert r["status"] == 200
     img = PIL.Image.open(io.BytesIO(r["body"]))
     assert img.format == "JPEG"
+
+
+def test_generate_image_interpolation(client):
+    """interpolate_to / seed_b request fields: a one-row strip JPEG."""
+    token = {"Authorization": "Bearer test-token"}
+    r = client.post_json("/generate-image/", {
+        "prompt": "a cat", "interpolate_to": "a dog",
+        "num_imgs": 3, "n_iter": 3}, headers=token)
+    assert r["status"] == 200, r["body"]
+    img = PIL.Image.open(io.BytesIO(r["body"]))
+    assert img.size == (3 * 32 + 4 * 4, 32 + 8)  # 3-frame strip
+
+    r = client.post_json("/generate-image/", {
+        "prompt": "a cat", "seed": 3, "seed_b": 9,
+        "num_imgs": 2, "n_iter": 3}, headers=token)
+    assert r["status"] == 200, r["body"]
+    img = PIL.Image.open(io.BytesIO(r["body"]))
+    assert img.size == (2 * 32 + 3 * 4, 32 + 8)
+
+    # does not compose with init_image
+    import base64
+
+    import numpy as np
+
+    buf = io.BytesIO()
+    PIL.Image.fromarray(np.zeros((32, 32, 3), np.uint8)).save(buf, "PNG")
+    r = client.post_json("/generate-image/", {
+        "prompt": "a cat", "interpolate_to": "a dog", "n_iter": 3,
+        "init_image": base64.b64encode(buf.getvalue()).decode()},
+        headers=token)
+    assert r["status"] == 500
+    assert "compose" in json.loads(r["body"])["detail"]

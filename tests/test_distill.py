@@ -118,3 +118,32 @@ def test_fresh_noise_validations(model_and_params):
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     _, c = gen.generate(fresh_noise=True, use_ddpm_plus=False, seed=6, **kw)
     assert np.abs(np.asarray(a) - np.asarray(c)).max() > 1e-6
+
+
+def test_consistency_apply_preserves_engine_protocol():
+    """consistency_apply over the fused engine must keep the prepare
+    protocol (packing hoisted out of the scan) and match the plain
+    linen-wrapper output (engine in CPU interpret mode)."""
+    from transformer_latent_diffusion_tpu.models.fast_denoiser import (
+        make_fused_apply,
+    )
+
+    cfg = DenoiserConfig()  # fused engine supports the default tiny cfg
+    model = Denoiser(**cfg.__dict__)
+    params = init_denoiser_params(model, cfg)
+    engine = make_fused_apply(cfg, compute_dtype=jnp.float32,
+                              interpret=True)
+    wrapped = consistency_apply(model, inner=engine)
+    assert hasattr(wrapped, "prepare") and hasattr(wrapped, "apply_prepared")
+
+    x = jax.random.normal(jax.random.PRNGKey(0),
+                          (2, cfg.n_channels, cfg.image_size, cfg.image_size))
+    y = jax.random.normal(jax.random.PRNGKey(1), (2, cfg.text_emb_size))
+    nl = jnp.full((2, 1), 0.7)
+    got = wrapped.apply_prepared(wrapped.prepare(params), x, nl, y)
+    want = consistency_apply(model)(params, x, nl, y)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-3, rtol=0)
+    # callable protocol too
+    np.testing.assert_allclose(np.asarray(wrapped(params, x, nl, y)),
+                               np.asarray(got), atol=1e-6, rtol=0)

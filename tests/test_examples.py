@@ -62,3 +62,18 @@ def test_example_generate_interpolate(tmp_path, monkeypatch):
                    run_name="__main__")
     img = PIL.Image.open(out)
     assert img.size[0] == 3 * 32 + 4 * 4  # 3-frame strip
+
+
+def test_example_distill_fewstep(tmp_path, monkeypatch):
+    import PIL.Image
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = str(tmp_path / "fewstep.png")
+    save = str(tmp_path / "ema.npz")
+    monkeypatch.setattr(sys, "argv", [
+        "examples/distill_fewstep.py", "--tiny", "--steps", "2",
+        "--out", out, "--save", save])
+    runpy.run_path(os.path.join(root, "examples", "distill_fewstep.py"),
+                   run_name="__main__")
+    assert os.path.exists(save)
+    assert PIL.Image.open(out).size[0] > 0

@@ -80,3 +80,11 @@ def test_gradio_client_error_branch(live_server, monkeypatch, capsys):
     img = generate_image_from_text("a cute cat")
     assert img is None
     assert "404" in capsys.readouterr().out
+
+
+def test_gradio_client_interpolation(live_server, monkeypatch):
+    monkeypatch.setenv("API_URL", f"{live_server}/generate-image/")
+    img = generate_image_from_text("a cat", n_iter=3,
+                                   interpolate_to="a dog", n_frames=3)
+    assert isinstance(img, PIL.Image.Image)
+    assert img.size == (3 * 32 + 4 * 4, 32 + 8)  # 3-frame strip

@@ -69,7 +69,13 @@ class GenerationService:
                       negative_prompt: Optional[str] = None,
                       init_image: Optional[str] = None,
                       mask: Optional[str] = None,
-                      strength: Optional[float] = None) -> bytes:
+                      strength: Optional[float] = None,
+                      interpolate_to: Optional[str] = None,
+                      seed_b: Optional[int] = None) -> bytes:
+        if (interpolate_to is not None or seed_b is not None) \
+                and init_image is not None:
+            raise ValueError("interpolate_to/seed_b do not compose with "
+                             "init_image")
         if init_image is not None:
             # img2img / inpainting (base64-encoded PNG/JPEG payloads);
             # bypasses the batcher — per-request init latents don't
@@ -103,6 +109,14 @@ class GenerationService:
                     num_imgs=num_imgs, n_iter=n_iter,
                     negative_prompt=negative_prompt,
                 )
+        elif interpolate_to is not None or seed_b is not None:
+            # prompt/noise interpolation strip: num_imgs = frame count;
+            # bypasses the batcher (frames share one init noise draw)
+            img = self.transformer.interpolate(
+                prompt, interpolate_to, n_frames=max(num_imgs, 2),
+                class_guidance=class_guidance, seed=seed, seed_b=seed_b,
+                n_iter=n_iter, negative_prompt=negative_prompt,
+            )
         elif (self.batcher is not None and cache_interval == 1
                 and num_imgs <= self.batcher.max_batch):
             img = self.batcher.generate(
@@ -130,7 +144,8 @@ WELCOME = {"message": "Welcome to Image Generator"}
 REQUEST_DEFAULTS = {"class_guidance": 6, "seed": 11, "num_imgs": 1,
                     "img_size": 32, "n_iter": 15, "cache_interval": 1,
                     "negative_prompt": None, "init_image": None,
-                    "mask": None, "strength": None}
+                    "mask": None, "strength": None,
+                    "interpolate_to": None, "seed_b": None}
 
 
 def _check_token(auth_header: Optional[str]):
@@ -229,6 +244,10 @@ def create_fastapi_app(cfg: Optional[LTDConfig] = None, service=None):
         init_image: Optional[str] = None
         mask: Optional[str] = None
         strength: Optional[float] = None
+        # interpolation strip: morph prompt -> interpolate_to and/or
+        # init noise seed -> seed_b; num_imgs = frame count
+        interpolate_to: Optional[str] = None
+        seed_b: Optional[int] = None
 
     @app.get("/")
     def read_root():
@@ -254,6 +273,7 @@ def create_fastapi_app(cfg: Optional[LTDConfig] = None, service=None):
                 negative_prompt=request.negative_prompt,
                 init_image=request.init_image, mask=request.mask,
                 strength=request.strength,
+                interpolate_to=request.interpolate_to, seed_b=request.seed_b,
             )
             return StreamingResponse(io.BytesIO(jpeg), media_type="image/jpeg")
         except Exception as e:

@@ -40,7 +40,9 @@ def generate_image_from_text(prompt: str, class_guidance: float = 6,
                              negative_prompt: str = "",
                              init_image=None, mask=None,
                              strength: float = 0.5,
-                             seed: int = 11, n_iter: int = 15):
+                             seed: int = 11, n_iter: int = 15,
+                             interpolate_to: str = "",
+                             n_frames: int = 4):
     import requests
     from PIL import Image
 
@@ -52,6 +54,10 @@ def generate_image_from_text(prompt: str, class_guidance: float = 6,
             "n_iter": int(n_iter)}
     if negative_prompt.strip():
         data["negative_prompt"] = negative_prompt
+    if interpolate_to.strip() and init_image is None:
+        # interpolation strip (excludes init_image server-side)
+        data["interpolate_to"] = interpolate_to
+        data["num_imgs"] = int(n_frames)
     if init_image is not None:
         data["init_image"] = _b64_png(init_image)
         data["strength"] = float(strength)
@@ -78,7 +84,10 @@ def build_interface():
                          type="pil", image_mode="L"),
                 gr.Slider(0.0, 1.0, value=0.5, label="Strength"),
                 gr.Number(value=11, precision=0, label="Seed"),
-                gr.Slider(1, 50, value=15, step=1, label="Steps")],
+                gr.Slider(1, 50, value=15, step=1, label="Steps"),
+                gr.Textbox(label="Interpolate to (optional: prompt-morph "
+                                 "strip)"),
+                gr.Slider(2, 10, value=4, step=1, label="Frames")],
         outputs="image",
         title="Text-to-Image Generator",
         description="Enter a text prompt to generate an image. Optionally "

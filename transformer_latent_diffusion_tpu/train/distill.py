@@ -54,20 +54,48 @@ from transformer_latent_diffusion_tpu.sampling.diffusion import (
 from transformer_latent_diffusion_tpu.train.train import update_ema
 
 
-def consistency_apply(model: Denoiser, inner=None):
-    """Wrap a denoiser network as a consistency function.
+def _consistency_combine(x, noise_level, raw):
+    sig = noise_level.reshape(-1, 1, 1, 1).astype(x.dtype)
+    return (1.0 - sig) * x + sig * raw
 
-    Returns apply(params, x, noise_level, labels) computing
-    (1-sigma)*x + sigma*F(x, sigma, labels). `inner` optionally replaces
-    the linen apply with another callable of the same signature (e.g. a
-    fused TPU engine called as a plain function).
+
+class _PreparedConsistency:
+    """Consistency wrapper keeping the fused engine's prepare protocol,
+    so DiffusionGenerator still hoists the weight stacking out of the
+    sampling scan (generate's prepare() runs once per dispatch)."""
+
+    def __init__(self, inner):
+        self._inner = inner
+
+    def prepare(self, params):
+        return self._inner.prepare(params)
+
+    def apply_prepared(self, prepared, x, noise_level, labels):
+        raw = self._inner.apply_prepared(prepared, x, noise_level, labels)
+        return _consistency_combine(x, noise_level, raw)
+
+    def __call__(self, params, x, noise_level, labels):
+        return self.apply_prepared(self.prepare(params), x, noise_level,
+                                   labels)
+
+
+def consistency_apply(model: Denoiser, inner=None):
+    """Wrap a denoiser network as a consistency function
+    f(x, sigma) = (1-sigma)*x + sigma*F(x, sigma, labels).
+
+    `inner` optionally replaces the linen apply: a plain callable of the
+    same signature, or a fused TPU engine — its prepare/apply_prepared
+    protocol is preserved (weight packing stays hoisted out of the
+    sampling scan).
     """
+    if inner is not None and hasattr(inner, "prepare"):
+        return _PreparedConsistency(inner)
     base = (inner if inner is not None
             else lambda p, x, nl, y: model.apply({"params": p}, x, nl, y))
 
     def apply(params, x, noise_level, labels):
-        sig = noise_level.reshape(-1, 1, 1, 1).astype(x.dtype)
-        return (1.0 - sig) * x + sig * base(params, x, noise_level, labels)
+        return _consistency_combine(x, noise_level,
+                                    base(params, x, noise_level, labels))
 
     return apply
 
