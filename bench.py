@@ -253,6 +253,41 @@ def main():
         except Exception as e:  # roofline evidence is best-effort
             log(f"roofline measurement failed: {type(e).__name__}: {e}")
 
+    # ---- the reference's OWN headline workload, machine-checkable ----
+    # README.md:133-136: batch of 36 imgs, 15 DPM++ steps, ~3.5 s on a T4
+    # (10.3 imgs/s) and ~0.6 s on an A100 (60 imgs/s). Same workload here
+    # (batch 32 — the engine kernels are compiled at the bench batch; the
+    # per-image rate is the comparable unit), recorded as extra fields so
+    # the T4/A100 comparisons are numbers the driver logs, not prose.
+    ref_headline = {}
+    if on_tpu and cli.cache_interval == 1 and cli.quantize is None:
+        try:
+            def run_dpm(seed):
+                img, _ = gen.generate(
+                    labels=labels, n_iter=15, num_imgs=num_imgs,
+                    class_guidance=6, seed=seed, img_size=cfg.image_size,
+                    sharp_f=0, bright_f=0, use_ddpm_plus=True,
+                )
+                return float(jnp.sum(img))
+
+            run_dpm(0)
+            best = float("inf")
+            for i in range(n_rep):
+                t0 = time.time()
+                run_dpm(i + 1)
+                best = min(best, time.time() - t0)
+            rate = num_imgs / best
+            ref_headline = {
+                "ref_headline_imgs_per_sec_15step_dpmpp": round(rate, 1),
+                "ref_headline_vs_t4": round(rate / (36 / 3.5), 2),
+                "ref_headline_vs_a100": round(rate / (36 / 0.6), 2),
+            }
+            log(f"ref headline (15-step DPM++): {rate:.1f} imgs/s = "
+                f"{ref_headline['ref_headline_vs_t4']}x T4 / "
+                f"{ref_headline['ref_headline_vs_a100']}x A100")
+        except Exception as e:  # best-effort, never sink the headline
+            log(f"ref-headline measurement failed: {type(e).__name__}: {e}")
+
     metric = "256px_imgs_per_sec_per_chip_50step_ddim_b32_incl_vae"
     if cli.quantize:
         metric += f"_{cli.quantize}"
@@ -264,6 +299,7 @@ def main():
         "unit": "imgs/sec",
         "vs_baseline": round(imgs_per_sec / A100_ANCHOR_IMGS_PER_SEC, 3),
         **roofline,
+        **ref_headline,
     }))
 
 

@@ -20,5 +20,14 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent XLA compilation cache: the suite is dominated by CPU XLA
+# compiles (~15-20 min cold); caching them makes repeat runs and the
+# subprocess-spawning tests (multiprocess/launcher/preemption) much
+# faster. Keyed by HLO+config, so it is correctness-neutral.
+_cache_dir = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), ".cache", "jax_compilation")
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
 assert jax.default_backend() == "cpu", jax.default_backend()
 assert len(jax.devices()) == 8, jax.devices()
