@@ -61,6 +61,23 @@ def test_read_main(client):
     assert json.loads(r["body"]) == {"message": "Welcome to Image Generator"}
 
 
+def test_healthz(client):
+    # unauthenticated liveness/readiness probe with request counters
+    r = client.get("/healthz")
+    assert r["status"] == 200
+    before = json.loads(r["body"])
+    assert before["status"] == "ok"
+    assert before["backend"] == "cpu" and before["n_devices"] == 8
+    token = os.getenv("API_TOKEN")
+    client.post_json("/generate-image/", {"prompt": "health probe"},
+                     headers={"Authorization": f"Bearer {token}"})
+    after = json.loads(client.get("/healthz")["body"])
+    assert after["requests"] == before["requests"] + 1
+    assert after["images"] == before["images"] + 1
+    assert after["errors"] == before["errors"]
+    assert after["generate_seconds"] > before["generate_seconds"]
+
+
 def test_generate_image_unauthorized(client):
     r = client.post_json("/generate-image/", {})
     assert r["status"] == 401

@@ -61,17 +61,61 @@ class GenerationService:
             self.batcher = MicroBatcher(self.transformer,
                                         max_batch=microbatch,
                                         max_wait_ms=max_wait_ms)
+        import threading
 
-    def generate_jpeg(self, prompt: str, class_guidance: float = 6,
-                      seed: int = 11, num_imgs: int = 1,
-                      img_size: int = 32, n_iter: int = 15,
-                      cache_interval: int = 1,
-                      negative_prompt: Optional[str] = None,
-                      init_image: Optional[str] = None,
-                      mask: Optional[str] = None,
-                      strength: Optional[float] = None,
-                      interpolate_to: Optional[str] = None,
-                      seed_b: Optional[int] = None) -> bytes:
+        self._stats_lock = threading.Lock()
+        self._stats = {"requests": 0, "images": 0, "errors": 0,
+                       "generate_seconds": 0.0}
+
+    def health(self) -> dict:
+        """Liveness/readiness payload for the (unauthenticated) /healthz
+        route: backend + device inventory, batching mode, request
+        counters. Beyond-reference production observability."""
+        info = {"status": "ok", "microbatch": bool(self.batcher)}
+        try:
+            import jax
+
+            devs = jax.devices()
+            info["backend"] = jax.default_backend()
+            info["n_devices"] = len(devs)
+            info["device_kind"] = devs[0].device_kind if devs else None
+        except Exception as e:  # backend wedged/unavailable
+            info["status"] = "degraded"
+            info["backend_error"] = f"{type(e).__name__}: {e}"
+        with self._stats_lock:
+            info.update(self._stats)
+        return info
+
+    def generate_jpeg(self, prompt: str, num_imgs: int = 1,
+                      **kwargs) -> bytes:
+        """Counted/timed wrapper around the real handler (stats feed
+        /healthz); same signature as _generate_jpeg."""
+        import time
+
+        t0 = time.time()
+        try:
+            jpeg = self._generate_jpeg(prompt, num_imgs=num_imgs, **kwargs)
+        except Exception:
+            with self._stats_lock:
+                self._stats["requests"] += 1
+                self._stats["errors"] += 1
+            raise
+        with self._stats_lock:
+            self._stats["requests"] += 1
+            self._stats["images"] += num_imgs
+            self._stats["generate_seconds"] += time.time() - t0
+        return jpeg
+
+    def _generate_jpeg(self, prompt: str, class_guidance: float = 6,
+                       seed: int = 11, num_imgs: int = 1,
+                       img_size: int = 32, n_iter: int = 15,
+                       cache_interval: int = 1,
+                       negative_prompt: Optional[str] = None,
+                       init_image: Optional[str] = None,
+                       mask: Optional[str] = None,
+                       strength: Optional[float] = None,
+                       interpolate_to: Optional[str] = None,
+                       seed_b: Optional[int] = None) -> bytes:
         if (interpolate_to is not None or seed_b is not None) \
                 and init_image is not None:
             raise ValueError("interpolate_to/seed_b do not compose with "
@@ -183,6 +227,9 @@ def create_wsgi_app(cfg: Optional[LTDConfig] = None, service=None):
         if path == "/" and method == "GET":
             return respond(200, json.dumps(WELCOME).encode())
 
+        if path == "/healthz" and method == "GET":
+            return respond(200, json.dumps(svc.health()).encode())
+
         if path == "/generate-image/" and method == "POST":
             status, detail = _check_token(environ.get("HTTP_AUTHORIZATION"))
             if status != 200:
@@ -252,6 +299,10 @@ def create_fastapi_app(cfg: Optional[LTDConfig] = None, service=None):
     @app.get("/")
     def read_root():
         return WELCOME
+
+    @app.get("/healthz")
+    def healthz():
+        return svc.health()
 
     @app.post("/generate-image/")
     def generate_image(request: ImageRequest,
