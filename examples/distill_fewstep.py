@@ -43,7 +43,7 @@ def main():
     import numpy as np
 
     from transformer_latent_diffusion_tpu.configs import (
-        DataConfig, DenoiserConfig, ModelConfig, TrainConfig, VaeConfig)
+        DataConfig, DenoiserConfig, ModelConfig, TrainConfig)
     from transformer_latent_diffusion_tpu.models import Denoiser
     from transformer_latent_diffusion_tpu.models.vae import FlaxVae
     from transformer_latent_diffusion_tpu.sampling import DiffusionGenerator

@@ -8,7 +8,6 @@ default path must be untouched.
 
 from dataclasses import asdict
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 

@@ -7,7 +7,6 @@ from dataclasses import asdict
 import jax
 import jax.numpy as jnp
 import numpy as np
-import pytest
 
 from transformer_latent_diffusion_tpu.configs import DenoiserConfig
 from transformer_latent_diffusion_tpu.models import (

@@ -2,7 +2,6 @@
 (test_diffusion_generator, test_full_generation_pipeline) on tiny configs
 with random weights (hermetic: no hub downloads)."""
 
-import math
 from dataclasses import asdict
 
 import jax

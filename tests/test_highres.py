@@ -5,7 +5,6 @@ import numpy as np
 import jax.numpy as jnp
 
 from transformer_latent_diffusion_tpu.configs import (
-    DataConfig,
     DenoiserConfig,
     ModelConfig,
     TrainConfig,

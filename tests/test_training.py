@@ -7,7 +7,6 @@ import os
 import jax
 import jax.numpy as jnp
 import numpy as np
-import pytest
 
 from transformer_latent_diffusion_tpu.configs import (
     DataConfig,
@@ -105,7 +104,6 @@ def test_training_fsdp(tmp_path):
     moments + EMA sharded, GSPMD all-gathers/reduce-scatters. The math
     is placement-only, so losses must match the plain replicated-DP run
     bit-for-bit up to reduction reordering."""
-    from jax.sharding import PartitionSpec as P
     from transformer_latent_diffusion_tpu.train import main
 
     kw = dict(denoiser=SMALL_DENOISER, img_size=8, n_epoch=1,

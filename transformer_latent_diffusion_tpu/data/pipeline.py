@@ -30,7 +30,6 @@ import tarfile
 from dataclasses import asdict
 from typing import Iterator, List, Sequence, Tuple, Union
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 

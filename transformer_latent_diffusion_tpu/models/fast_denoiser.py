@@ -25,7 +25,6 @@ from typing import Any, Dict, List
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from transformer_latent_diffusion_tpu.configs import DenoiserConfig
 from transformer_latent_diffusion_tpu.models.blocks import (

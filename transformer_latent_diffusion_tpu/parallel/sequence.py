@@ -13,7 +13,6 @@ identical to single-device attention (tests/test_sequence_parallel.py).
 
 from __future__ import annotations
 
-from functools import partial
 
 import jax
 import jax.numpy as jnp
