@@ -78,6 +78,20 @@ def test_healthz(client):
     assert after["generate_seconds"] > before["generate_seconds"]
 
 
+def test_null_field_and_bad_combo_are_422(client):
+    token = os.getenv("API_TOKEN")
+    hdr = {"Authorization": f"Bearer {token}"}
+    # explicit JSON null on a non-nullable field: 422 like pydantic
+    r = client.post_json("/generate-image/",
+                         {"prompt": "x", "num_imgs": None}, headers=hdr)
+    assert r["status"] == 422, r
+    # interpolation does not compose with img2img: client error, not 500
+    r = client.post_json("/generate-image/",
+                         {"prompt": "x", "init_image": "aGk=",
+                          "interpolate_to": "y"}, headers=hdr)
+    assert r["status"] == 422, r
+
+
 def test_generate_image_unauthorized(client):
     r = client.post_json("/generate-image/", {})
     assert r["status"] == 401

@@ -254,6 +254,20 @@ class FlaxVae:
 
         return self._get("encode", f)(self.params, img_nchw, rng)
 
+    def encode_mean(self, img_nchw):
+        """img (B,3,H,W) in [-1,1] -> deterministic posterior MEAN latent
+        (B,C,H/8,W/8) (unscaled). Jit-cached like encode/decode; used by
+        utils.fid for reproducible latent features."""
+
+        def f(params, img):
+            x = jnp.transpose(img, (0, 2, 3, 1))
+            mean, _ = self.module.apply(
+                {"params": params}, x, method=AutoencoderKL.encode_moments
+            )
+            return jnp.transpose(mean, (0, 3, 1, 2))
+
+        return self._get("encode_mean", f)(self.params, img_nchw)
+
     def decode(self, lat_nchw):
         """latent (B,C,h,w) (already scaled) -> image (B,3,8h,8w) ~[-1,1].
 

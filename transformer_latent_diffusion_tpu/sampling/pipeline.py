@@ -36,14 +36,20 @@ from transformer_latent_diffusion_tpu.utils import (
 
 
 def download_file(url: str, filename: str) -> None:
-    """Stream a file to disk. Parity: reference diffusion.py:128-133."""
+    """Stream a file to disk. Parity: reference diffusion.py:128-133.
+
+    Streams to a temp path and renames on success: an interrupted
+    download must not leave a truncated file at `filename`, or every
+    later construction would see the cache hit and fail to load it."""
     import requests
 
+    tmp = f"{filename}.part"
     with requests.get(url, stream=True) as r:
         r.raise_for_status()
-        with open(filename, "wb") as f:
+        with open(tmp, "wb") as f:
             for chunk in r.iter_content(chunk_size=8192):
                 f.write(chunk)
+    os.replace(tmp, filename)
 
 
 def load_denoiser_params(path: str, model: Denoiser, cfg):
@@ -214,6 +220,9 @@ class DiffusionTransformer:
             # results bit-equal to solo requests (see initialize_image)
             noise_on_host=True,
         )
+        # latent value scaling for encode/decode, honoring the config
+        # (reference vae_scale_factor semantics, train.py:122)
+        self._scale_factor = float(cfg.vae_cfg.vae_scale_factor)
 
     def generate_image_from_text(
         self,
@@ -254,7 +263,7 @@ class DiffusionTransformer:
             seed=seed,
             n_iter=n_iter,
             exponent=1,
-            scale_factor=8,
+            scale_factor=self._scale_factor,
             sharp_f=0,
             bright_f=0,
             cache_interval=cache_interval,
@@ -262,8 +271,6 @@ class DiffusionTransformer:
             negative_labels=negative_labels,
         )
         return uint8_grid_to_pil(np.asarray(out), nrow=nrow, padding=4)
-
-    _SCALE_FACTOR = 8.0  # latent value scaling (reference vae_scale_factor)
 
     def _encode_init_image(self, image):
         """PIL / (H,W,3) / (B,H,W,3) image -> sampler-unit latents.
@@ -280,7 +287,7 @@ class DiffusionTransformer:
             arr = np.transpose(arr, (0, 3, 1, 2))
         if is_int:
             arr = arr / 127.5 - 1.0
-        lat = self.vae.encode(arr) / self._SCALE_FACTOR
+        lat = self.vae.encode(arr) / self._scale_factor
         want = self.diffuser.model.image_size
         if lat.shape[-2:] != (want, want):  # both dims: non-square must fail
             down = arr.shape[-1] // lat.shape[-1]  # this VAE's spatial factor
@@ -337,7 +344,7 @@ class DiffusionTransformer:
             seed=seed,
             n_iter=n_iter,
             exponent=1,
-            scale_factor=self._SCALE_FACTOR,
+            scale_factor=self._scale_factor,
             sharp_f=0,
             bright_f=0,
             output="uint8",
@@ -431,7 +438,7 @@ class DiffusionTransformer:
                 seed=seed + i,
                 n_iter=n_iter,
                 exponent=1,
-                scale_factor=self._SCALE_FACTOR,
+                scale_factor=self._scale_factor,
                 sharp_f=0,
                 bright_f=0,
                 output="uint8",
@@ -518,7 +525,7 @@ class DiffusionTransformer:
             seeds=seeds,
             n_iter=n_iter,
             exponent=1,
-            scale_factor=self._SCALE_FACTOR,
+            scale_factor=self._scale_factor,
             sharp_f=0,
             bright_f=0,
             output="uint8",
@@ -579,7 +586,7 @@ class DiffusionTransformer:
             seed=seed,
             n_iter=n_iter,
             exponent=1,
-            scale_factor=self._SCALE_FACTOR,
+            scale_factor=self._scale_factor,
             sharp_f=0,
             bright_f=0,
             output="uint8",

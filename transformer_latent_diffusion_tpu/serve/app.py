@@ -66,22 +66,34 @@ class GenerationService:
         self._stats_lock = threading.Lock()
         self._stats = {"requests": 0, "images": 0, "errors": 0,
                        "generate_seconds": 0.0}
-
-    def health(self) -> dict:
-        """Liveness/readiness payload for the (unauthenticated) /healthz
-        route: backend + device inventory, batching mode, request
-        counters. Beyond-reference production observability."""
-        info = {"status": "ok", "microbatch": bool(self.batcher)}
+        # snapshot device inventory NOW (the backend is necessarily up —
+        # the model above was just built on it). health() must never
+        # query the backend live: on tunneled runtimes a wedged backend
+        # BLOCKS device queries for minutes, which would hang the
+        # liveness probe during exactly the outage it should report.
+        self._device_info = {}
         try:
             import jax
 
             devs = jax.devices()
-            info["backend"] = jax.default_backend()
-            info["n_devices"] = len(devs)
-            info["device_kind"] = devs[0].device_kind if devs else None
-        except Exception as e:  # backend wedged/unavailable
-            info["status"] = "degraded"
-            info["backend_error"] = f"{type(e).__name__}: {e}"
+            self._device_info = {
+                "backend": jax.default_backend(),
+                "n_devices": len(devs),
+                "device_kind": devs[0].device_kind if devs else None,
+            }
+        except Exception as e:
+            self._device_info = {
+                "backend_error": f"{type(e).__name__}: {e}"}
+
+    def health(self) -> dict:
+        """Liveness/readiness payload for the (unauthenticated) /healthz
+        route: backend + device inventory (snapshotted at startup — never
+        a live backend query, see __init__), batching mode, request
+        counters. Beyond-reference production observability."""
+        info = {"status": ("degraded" if "backend_error" in self._device_info
+                           else "ok"),
+                "microbatch": bool(self.batcher)}
+        info.update(self._device_info)
         with self._stats_lock:
             info.update(self._stats)
         return info
@@ -190,6 +202,9 @@ REQUEST_DEFAULTS = {"class_guidance": 6, "seed": 11, "num_imgs": 1,
                     "negative_prompt": None, "init_image": None,
                     "mask": None, "strength": None,
                     "interpolate_to": None, "seed_b": None}
+# fields pydantic types as non-Optional: explicit null -> 422, both frontends
+NON_NULLABLE_FIELDS = ("prompt", "class_guidance", "seed", "num_imgs",
+                       "img_size", "n_iter", "cache_interval")
 
 
 def _check_token(auth_header: Optional[str]):
@@ -245,6 +260,18 @@ def create_wsgi_app(cfg: Optional[LTDConfig] = None, service=None):
                              or payload.get("strength") is not None)):
                     return respond(422, json.dumps({
                         "detail": "mask/strength require init_image"}).encode())
+                if (payload.get("init_image") is not None
+                        and (payload.get("interpolate_to") is not None
+                             or payload.get("seed_b") is not None)):
+                    return respond(422, json.dumps({
+                        "detail": "interpolate_to/seed_b do not compose "
+                                  "with init_image"}).encode())
+                # explicit JSON null on a non-nullable field is a client
+                # error — 422 like the pydantic frontend, not a 500
+                for k in NON_NULLABLE_FIELDS:
+                    if k in payload and payload[k] is None:
+                        return respond(422, json.dumps({
+                            "detail": f"{k} must not be null"}).encode())
                 kwargs = {k: payload.get(k, v) for k, v in REQUEST_DEFAULTS.items()}
                 jpeg = svc.generate_jpeg(prompt=payload["prompt"], **kwargs)
                 return respond(200, jpeg, content_type="image/jpeg")
@@ -315,6 +342,12 @@ def create_fastapi_app(cfg: Optional[LTDConfig] = None, service=None):
                 request.mask is not None or request.strength is not None):
             raise HTTPException(status_code=422,
                                 detail="mask/strength require init_image")
+        if request.init_image is not None and (
+                request.interpolate_to is not None
+                or request.seed_b is not None):
+            raise HTTPException(status_code=422,
+                                detail="interpolate_to/seed_b do not "
+                                       "compose with init_image")
         try:
             jpeg = svc.generate_jpeg(
                 prompt=request.prompt, class_guidance=request.class_guidance,

@@ -66,16 +66,23 @@ def vae_latent_features(images_nchw: np.ndarray, vae,
     A pretrained-tower-free feature extractor for relative ("latent")
     FID between checkpoints; pass real Inception/CLIP-image features to
     compute_fid for literature-comparable numbers.
+
+    Batches go through the FlaxVae's jit-cached deterministic-mean
+    encode (one compiled program, posterior mean — no sampling noise);
+    the ragged final batch is zero-padded to `batch_size` so every call
+    reuses the same compiled shape, then sliced back.
     """
     import jax.numpy as jnp
 
+    n = images_nchw.shape[0]
     feats = []
-    for i in range(0, images_nchw.shape[0], batch_size):
-        batch = jnp.asarray(images_nchw[i:i + batch_size],
-                            dtype=jnp.float32)
-        # deterministic: use the posterior mean, not a sample
-        nhwc = jnp.transpose(batch, (0, 2, 3, 1))
-        mean, _ = vae.module.apply({"params": vae.params}, nhwc,
-                                   method=type(vae.module).encode_moments)
-        feats.append(np.asarray(mean).reshape(mean.shape[0], -1))
+    for i in range(0, n, batch_size):
+        batch = np.asarray(images_nchw[i:i + batch_size], dtype=np.float32)
+        m = batch.shape[0]
+        if m < batch_size:
+            batch = np.concatenate(
+                [batch, np.zeros((batch_size - m,) + batch.shape[1:],
+                                 np.float32)], axis=0)
+        mean = vae.encode_mean(jnp.asarray(batch))[:m]
+        feats.append(np.asarray(mean).reshape(m, -1))
     return np.concatenate(feats, axis=0)
