@@ -29,6 +29,12 @@ def main():
     ap.add_argument("--image-size", type=int, default=32)
     ap.add_argument("--embed-dim", type=int, default=768)
     ap.add_argument("--n-layers", type=int, default=12)
+    ap.add_argument("--lora-rank", type=int, default=0,
+                    help="> 0: LoRA fine-tune — train only rank-r "
+                         "adapters on a base checkpoint (--init-npz)")
+    ap.add_argument("--init-npz", default=None,
+                    help="warm-start params (.npz); the frozen base "
+                         "for --lora-rank")
     args = ap.parse_args()
 
     import jax
@@ -46,9 +52,17 @@ def main():
         train_config=TrainConfig(
             batch_size=args.batch_size, lr=args.lr, n_epoch=args.epochs,
             mesh_shape=(dp, args.tp), compute_dtype="bfloat16",
-            model_name="tld_tpu", use_wandb=False),
+            model_name="tld_tpu", use_wandb=False,
+            lora_rank=args.lora_rank),
     )
-    train_main(cfg)
+    init_params = None
+    if args.init_npz:
+        from transformer_latent_diffusion_tpu.train import unflatten_npz
+
+        init_params = unflatten_npz(args.init_npz)
+    elif args.lora_rank > 0:
+        ap.error("--lora-rank needs a base checkpoint (--init-npz)")
+    train_main(cfg, init_params=init_params)
 
 
 if __name__ == "__main__":

@@ -233,5 +233,6 @@ def test_generate_image_interpolation(client):
         "prompt": "a cat", "interpolate_to": "a dog", "n_iter": 3,
         "init_image": base64.b64encode(buf.getvalue()).decode()},
         headers=token)
-    assert r["status"] == 500
+    # client error (both frontends validate this before the handler)
+    assert r["status"] == 422
     assert "compose" in json.loads(r["body"])["detail"]

@@ -207,6 +207,17 @@ class TrainConfig:
     # widened with models.denoiser.expand_input_channels via
     # train.main(config, init_params=...).
     outpaint: bool = False
+    # LoRA fine-tuning (train/lora.py): rank > 0 routes train.main to
+    # the adapter fine-tune loop — only rank-r factors on the decoder
+    # blocks' dense projections train (W + (alpha/rank)*A@B); the base
+    # params (pass the checkpoint as train.main's init_params) stay
+    # frozen. alpha defaults to rank (merge scale 1.0); targets
+    # defaults to train.lora.DEFAULT_TARGETS. Adapters save to
+    # checkpoint_dir/<model_name>/lora.npz; load at inference with
+    # DiffusionTransformer.load_lora.
+    lora_rank: int = 0
+    lora_alpha: Optional[float] = None
+    lora_targets: Optional[Tuple[str, ...]] = None
     # graceful preemption: on SIGTERM/SIGINT finish the current step,
     # save a resumable checkpoint (if save_model) and return cleanly
     # (train.GracefulShutdown; no reference equivalent — recovery there
@@ -240,6 +251,12 @@ class LTDConfig:
     # n_layers % model_axis == 0)
     pipeline_parallel: bool = False
     pipeline_microbatches: Optional[int] = None
+    # beyond reference: merge a LoRA adapter file (train/lora.py's
+    # lora.npz) into the denoiser at construction; lora_scale None =
+    # the scale stored in the file. Swap later at runtime with
+    # DiffusionTransformer.load_lora.
+    lora_path: Optional[str] = None
+    lora_scale: Optional[float] = None
 
 
 @dataclass

@@ -223,6 +223,35 @@ class DiffusionTransformer:
         # latent value scaling for encode/decode, honoring the config
         # (reference vae_scale_factor semantics, train.py:122)
         self._scale_factor = float(cfg.vae_cfg.vae_scale_factor)
+        # pristine base params, so load_lora(adapter_b) after
+        # load_lora(adapter_a) swaps adapters instead of stacking them
+        self._base_params = self.diffuser.params
+        if getattr(cfg, "lora_path", None):
+            self.load_lora(cfg.lora_path,
+                           scale=getattr(cfg, "lora_scale", None))
+
+    def load_lora(self, path_or_lora, scale: Optional[float] = None) -> None:
+        """Merge LoRA adapters (train/lora.py) into the denoiser.
+
+        path_or_lora: a `lora.npz` path from lora_finetune/save_lora, or
+        an adapter dict. scale: merge strength (None = the scale stored
+        in the file, or 1.0 for a dict); 0.0 restores the base model.
+        Merging replaces `diffuser.params`, so every sampler path (XLA,
+        fused engine, int8, mesh) picks the adapter up on the next
+        generate with zero added inference cost. Repeated calls swap
+        adapters (each merge starts from the pristine base params).
+        """
+        from transformer_latent_diffusion_tpu.train.lora import (
+            load_lora_file,
+            merge_lora,
+        )
+
+        if isinstance(path_or_lora, str):
+            lora, file_scale = load_lora_file(path_or_lora)
+        else:
+            lora, file_scale = path_or_lora, 1.0
+        s = file_scale if scale is None else float(scale)
+        self.diffuser.params = merge_lora(self._base_params, lora, s)
 
     def generate_image_from_text(
         self,

@@ -12,3 +12,10 @@ from transformer_latent_diffusion_tpu.train.distill import (  # noqa: F401
     consistency_apply,
     distill_consistency,
 )
+from transformer_latent_diffusion_tpu.train.lora import (  # noqa: F401
+    init_lora_params,
+    load_lora_file,
+    lora_finetune,
+    merge_lora,
+    save_lora,
+)

@@ -183,21 +183,16 @@ def resolve_fused_flags(train_cfg, on_tpu: bool):
     return fused_layer, fused_mlp, fused_attn
 
 
-def _build_train_step(model: Denoiser, optimizer, train_cfg, vae_scale_factor,
-                      mesh=None, dp_shard_map: bool = False,
-                      pipeline_fn=None):
-    """Build the jitted train step.
+def build_loss_fn(model: Denoiser, train_cfg, vae_scale_factor,
+                  pipeline_fn=None):
+    """Build the per-batch diffusion loss `loss_fn(params, x, y, rng)`.
 
-    dp_shard_map: compute gradients inside a `shard_map` over the mesh
-    'data' axis (manual SPMD: each device runs the model on its batch
-    shard, grads are psum-averaged over ICI). This is how the fused
-    Pallas kernels compose with multi-chip data parallelism — Pallas
-    calls are not GSPMD-partitionable, but under shard_map they are
-    per-device local. Per-shard noise keys derive from
-    fold_in(rng, axis_index), so a run is statistically equivalent (not
-    bit-equal) to the GSPMD path. Replaces the reference's
-    Accelerate/DDP gradient all-reduce (train.py:109,169)."""
-    accum = max(1, train_cfg.grad_accum_steps)
+    One jittable function holding the whole reference training
+    semantics (train.py:118-167): Beta(a,b) noise-level sampling, the
+    interpolation corruption, CFG label dropout, the model forward and
+    MSE on the clean latent. Shared by the main train step and the
+    LoRA fine-tune step (train/lora.py), which differentiates it with
+    respect to low-rank adapters merged into `params`."""
     outpaint = bool(getattr(train_cfg, "outpaint", False))
 
     def _outpaint_context(rng, x):
@@ -271,6 +266,16 @@ def _build_train_step(model: Denoiser, optimizer, train_cfg, vae_scale_factor,
             )
         return jnp.mean((pred - x) ** 2)
 
+    return loss_fn
+
+
+def make_grads_of(loss_fn, accum: int = 1):
+    """value_and_grad of `loss_fn(params, x, y, rng)`, with gradient
+    accumulation as a `lax.scan` over `accum` microbatches inside the
+    same program (the reference's `accelerator.accumulate`,
+    train.py:162, as compiler-visible control flow)."""
+    accum = max(1, accum)
+
     def grads_of(params, x, y, rng):
         if accum == 1:
             return jax.value_and_grad(loss_fn)(params, x, y, rng)
@@ -287,6 +292,27 @@ def _build_train_step(model: Denoiser, optimizer, train_cfg, vae_scale_factor,
         zero = jax.tree.map(jnp.zeros_like, params)
         (loss, grads), _ = jax.lax.scan(micro, (0.0, zero), (xm, ym, rngs))
         return loss / accum, jax.tree.map(lambda g: g / accum, grads)
+
+    return grads_of
+
+
+def _build_train_step(model: Denoiser, optimizer, train_cfg, vae_scale_factor,
+                      mesh=None, dp_shard_map: bool = False,
+                      pipeline_fn=None):
+    """Build the jitted train step.
+
+    dp_shard_map: compute gradients inside a `shard_map` over the mesh
+    'data' axis (manual SPMD: each device runs the model on its batch
+    shard, grads are psum-averaged over ICI). This is how the fused
+    Pallas kernels compose with multi-chip data parallelism — Pallas
+    calls are not GSPMD-partitionable, but under shard_map they are
+    per-device local. Per-shard noise keys derive from
+    fold_in(rng, axis_index), so a run is statistically equivalent (not
+    bit-equal) to the GSPMD path. Replaces the reference's
+    Accelerate/DDP gradient all-reduce (train.py:109,169)."""
+    loss_fn = build_loss_fn(model, train_cfg, vae_scale_factor,
+                            pipeline_fn=pipeline_fn)
+    grads_of = make_grads_of(loss_fn, train_cfg.grad_accum_steps)
 
     if dp_shard_map:
         assert mesh is not None and mesh.shape["model"] == 1, mesh
@@ -337,6 +363,13 @@ def main(config: ModelConfig, init_params: Optional[Any] = None) -> Dict[str, An
     denoiser_config = config.denoiser_config
     train_config = config.train_config
     dataconfig = config.data_config
+
+    if getattr(train_config, "lora_rank", 0) > 0:
+        # LoRA fine-tune: only low-rank adapters train, base params
+        # (init_params) stay frozen — see train/lora.py
+        from transformer_latent_diffusion_tpu.train.lora import lora_finetune
+
+        return lora_finetune(config, init_params)
 
     initialize_distributed()
     mesh = create_mesh(train_config.mesh_shape)
