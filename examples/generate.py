@@ -56,10 +56,17 @@ def main():
     from transformer_latent_diffusion_tpu.sampling import DiffusionTransformer
 
     if args.tiny:
+        # --vae-npz/--clip-npz still load under --tiny (weights converted
+        # for the matching tiny architecture), so the pretrained-weights
+        # wiring is exercisable offline — tests/test_examples.py drives it.
         cfg = LTDConfig(
             denoiser_cfg=DenoiserConfig(),
-            vae_cfg=VaeConfig(block_out_channels=(8, 16), layers_per_block=1),
-            clip_cfg=ClipConfig(width=64, heads=2, layers=2),
+            denoiser_load=DenoiserLoad(local_filename=args.weights),
+            vae_cfg=VaeConfig(weights_path=args.vae_npz,
+                              block_out_channels=(8, 16), layers_per_block=1),
+            clip_cfg=ClipConfig(weights_path=args.clip_npz,
+                                vocab_path=args.vocab,
+                                width=64, heads=2, layers=2),
             use_pallas=False,
         )
     else:

@@ -69,6 +69,13 @@ def main():
     ap.add_argument("--out-dir", default="towers")
     ap.add_argument("--verify", action="store_true",
                     help="load the written .npz back and run a smoke forward")
+    ap.add_argument("--vae-blocks", default=None,
+                    help="comma-separated block_out_channels if the VAE is "
+                         "not the sdxl default (e.g. '8,16' for test VAEs)")
+    ap.add_argument("--vae-layers", type=int, default=None,
+                    help="layers_per_block if not the sdxl default (2)")
+    ap.add_argument("--vae-latent", type=int, default=None,
+                    help="latent_channels if not the sdxl default (4)")
     args = ap.parse_args()
     if not (args.vae or args.clip or args.vocab):
         ap.error("nothing to do: pass --vae and/or --clip and/or --vocab")
@@ -85,7 +92,15 @@ def main():
             load_vae_params,
         )
 
-        vae_cfg = VaeConfig()
+        overrides = {}
+        if args.vae_blocks:
+            overrides["block_out_channels"] = tuple(
+                int(c) for c in args.vae_blocks.split(","))
+        if args.vae_layers is not None:
+            overrides["layers_per_block"] = args.vae_layers
+        if args.vae_latent is not None:
+            overrides["latent_channels"] = args.vae_latent
+        vae_cfg = VaeConfig(**overrides)
         src = _fetch(args.vae, args.out_dir)
         print(f"converting VAE {src} ...")
         params = load_vae_params(src, vae_cfg)
@@ -101,9 +116,15 @@ def main():
             )
             from transformer_latent_diffusion_tpu.models.vae import FlaxVae
 
-            vae = FlaxVae.create(params=reload(out, vae_cfg))
-            img = vae.decode(jnp.zeros((1, 4, 8, 8)))
-            assert img.shape == (1, 3, 64, 64), img.shape
+            vae = FlaxVae.create(
+                block_out_channels=vae_cfg.block_out_channels,
+                layers_per_block=vae_cfg.layers_per_block,
+                latent_channels=vae_cfg.latent_channels,
+                params=reload(out, vae_cfg))
+            img = vae.decode(
+                jnp.zeros((1, vae_cfg.latent_channels, 8, 8)))
+            up = 2 ** (len(vae_cfg.block_out_channels) - 1)
+            assert img.shape == (1, 3, 8 * up, 8 * up), img.shape
             print("VAE verify OK:", img.shape)
 
     if args.clip:
