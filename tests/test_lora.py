@@ -96,6 +96,71 @@ def test_lora_finetune(tmp_path):
                                    atol=1e-7)
 
 
+def test_lora_merge_rejects_unmatched_adapters():
+    """Adapters trained for a different model config raise instead of
+    silently no-oping (ADVICE r2)."""
+    import pytest
+
+    base = _base_params()
+    lora = init_lora_params(base, rank=2)
+    lora["decoder_block_999/mlp/expand/kernel"] = {
+        "a": jnp.zeros((4, 2)), "b": jnp.zeros((2, 4))}
+    with pytest.raises(ValueError, match="decoder_block_999"):
+        merge_lora(base, lora)
+
+
+def test_lora_ema_debias_and_raw(tmp_path):
+    """A short adapter run must NOT save adapters down-weighted ~alpha^N
+    toward the zero-effect init (ADVICE r2): the saved EMA is debiased
+    and the raw last-step adapters ride along under raw:: keys."""
+    from transformer_latent_diffusion_tpu.train import main
+
+    cfg = _model_cfg(tmp_path, denoiser=SMALL_DENOISER, img_size=8,
+                     n_epoch=4, batch_size=64, lr=1e-3,
+                     lora_rank=2, save_model=True, model_name="debias_run")
+    base = _base_params(seed=cfg.train_config.seed)
+    result = main(cfg, init_params=base)
+    n_steps = result["global_step"]
+    alpha = cfg.train_config.alpha
+
+    ema, _ = load_lora_file(result["lora_path"])           # debiased
+    raw, _ = load_lora_file(result["lora_path"], which="raw")
+    assert set(raw) == set(ema)
+
+    ema_b = max(float(jnp.abs(ab["b"]).max()) for ab in ema.values())
+    raw_b = max(float(jnp.abs(ab["b"]).max()) for ab in raw.values())
+    naive_ceiling = 1.0 - alpha**n_steps  # ~0.004 at 4 steps, alpha=.999
+    # an un-debiased EMA could be at most naive_ceiling * max-step-b;
+    # the debiased one must sit at the raw adapters' scale instead
+    assert ema_b > 10 * naive_ceiling * raw_b
+    assert ema_b > 0.3 * raw_b
+
+
+def test_lora_handle_signals_runs(tmp_path):
+    """handle_signals=True wraps the adapter loop in GracefulShutdown
+    (ADVICE r2); without a signal it must be a clean no-op."""
+    from transformer_latent_diffusion_tpu.train import main
+
+    cfg = _model_cfg(tmp_path, denoiser=SMALL_DENOISER, img_size=8,
+                     n_epoch=2, batch_size=64, lora_rank=2,
+                     handle_signals=True)
+    result = main(cfg)
+    assert result["preempted"] is False
+    assert result["global_step"] == 2
+
+
+def test_lora_warns_on_wandb_and_run_id(tmp_path):
+    import pytest
+
+    from transformer_latent_diffusion_tpu.train import main
+
+    cfg = _model_cfg(tmp_path, denoiser=SMALL_DENOISER, img_size=8,
+                     n_epoch=1, batch_size=64, lora_rank=2,
+                     use_wandb=True)
+    with pytest.warns(UserWarning, match="lora_finetune ignores"):
+        main(cfg)
+
+
 def test_lora_rejects_sharded_parallelism(tmp_path):
     from transformer_latent_diffusion_tpu.train import main
 
@@ -168,4 +233,17 @@ def test_pipeline_load_lora(tmp_path):
                                lora_scale=2.0)
     dt2 = DiffusionTransformer(cfg2)
     for a, b in zip(jax.tree.leaves(want), jax.tree.leaves(dt2.diffuser.params)):
+        np.testing.assert_allclose(a, b, atol=1e-6)
+
+    # set_base_params refreshes the merge base (ADVICE r2): merging after
+    # a base swap starts from the NEW weights, not construction-time ones
+    new_base = jax.tree.map(lambda p: p + 1.0, base)
+    dt.set_base_params(new_base)
+    for a, b in zip(jax.tree.leaves(new_base),
+                    jax.tree.leaves(dt.diffuser.params)):
+        np.testing.assert_allclose(a, b, atol=0)
+    dt.load_lora(lora, scale=1.0)
+    want_new = merge_lora(new_base, lora, scale=1.0)
+    for a, b in zip(jax.tree.leaves(want_new),
+                    jax.tree.leaves(dt.diffuser.params)):
         np.testing.assert_allclose(a, b, atol=1e-6)

@@ -240,6 +240,11 @@ class DiffusionTransformer:
         fused engine, int8, mesh) picks the adapter up on the next
         generate with zero added inference cost. Repeated calls swap
         adapters (each merge starts from the pristine base params).
+
+        NOTE: the merge base is the params snapshotted at construction
+        (or at the last `set_base_params` call) — assigning
+        `diffuser.params` directly does NOT change it. To adapt new base
+        weights, call `set_base_params(new_params)` first.
         """
         from transformer_latent_diffusion_tpu.train.lora import (
             load_lora_file,
@@ -252,6 +257,13 @@ class DiffusionTransformer:
             lora, file_scale = path_or_lora, 1.0
         s = file_scale if scale is None else float(scale)
         self.diffuser.params = merge_lora(self._base_params, lora, s)
+
+    def set_base_params(self, params) -> None:
+        """Replace the denoiser's base weights (e.g. a newly loaded
+        checkpoint): refreshes the pristine copy that `load_lora` merges
+        onto and clears any currently merged adapter."""
+        self._base_params = params
+        self.diffuser.params = params
 
     def generate_image_from_text(
         self,

@@ -85,47 +85,95 @@ def merge_lora(params, lora: Dict[str, Dict[str, jnp.ndarray]],
     """params with `scale * A @ B` added to each adapted kernel.
 
     Differentiable with respect to `lora`; the A@B product runs in f32
-    and is cast to the kernel's dtype at the add.
+    and is cast to the kernel's dtype at the add. Every adapter entry
+    must match a param leaf — adapters trained for a different model
+    config (or with typo'd targets) raise instead of silently no-oping.
     """
+    matched = set()
 
     def _merge(path, leaf):
-        ab = lora.get(_path_str(path))
+        p = _path_str(path)
+        ab = lora.get(p)
         if ab is None:
             return leaf
+        matched.add(p)
         delta = (ab["a"].astype(jnp.float32)
                  @ ab["b"].astype(jnp.float32)) * scale
         return leaf + delta.astype(leaf.dtype)
 
-    return jax.tree_util.tree_map_with_path(_merge, params)
+    out = jax.tree_util.tree_map_with_path(_merge, params)
+    unmatched = sorted(set(lora) - matched)
+    if unmatched:
+        raise ValueError(
+            "lora adapters matched no param leaf (wrong model config or "
+            f"targets?): {unmatched}")
+    return out
 
 
 def count_lora_parameters(lora) -> int:
     return sum(int(np.prod(v.shape)) for v in jax.tree.leaves(lora))
 
 
-def save_lora(path: str, lora, scale: float = 1.0) -> None:
+def save_lora(path: str, lora, scale: float = 1.0, raw=None) -> None:
     """Adapters -> one .npz (keys `<param_path>::a` / `::b`, plus the
-    merge scale). A rank-8 adapter set for the 101M model is ~3 MB."""
+    merge scale). A rank-8 adapter set for the 101M model is ~3 MB.
+
+    `lora` is what loads by default (the debiased-EMA adapters in
+    lora_finetune's checkpoints); `raw`, if given, stores the last-step
+    non-averaged adapters under a `raw::` prefix
+    (load_lora_file(..., which="raw"))."""
     flat = {}
     for p, ab in lora.items():
         flat[f"{p}::a"] = np.asarray(ab["a"], np.float32)
         flat[f"{p}::b"] = np.asarray(ab["b"], np.float32)
+    if raw is not None:
+        for p, ab in raw.items():
+            flat[f"raw::{p}::a"] = np.asarray(ab["a"], np.float32)
+            flat[f"raw::{p}::b"] = np.asarray(ab["b"], np.float32)
     flat["__scale__"] = np.float32(scale)
     with open(path, "wb") as f:
         np.savez(f, **flat)
 
 
-def load_lora_file(path: str):
-    """-> (lora dict, scale) as saved by save_lora."""
+def load_lora_file(path: str, which: str = "ema"):
+    """-> (lora dict, scale) as saved by save_lora.
+
+    which: "ema" (default — the debiased-EMA adapters) or "raw" (the
+    last-step adapters, present when the file was written with raw=...)."""
+    if which not in ("ema", "raw"):
+        raise ValueError(f"which must be 'ema' or 'raw', got {which!r}")
     data = np.load(path)
     lora: Dict[str, Dict[str, jnp.ndarray]] = {}
     for k in data.files:
         if k == "__scale__":
             continue
-        p, which = k.rsplit("::", 1)
-        lora.setdefault(p, {})[which] = jnp.asarray(data[k])
+        is_raw = k.startswith("raw::")
+        if is_raw != (which == "raw"):
+            continue
+        p, part = (k[len("raw::"):] if is_raw else k).rsplit("::", 1)
+        lora.setdefault(p, {})[part] = jnp.asarray(data[k])
+    if which == "raw" and not lora:
+        raise ValueError(f"{path} holds no raw:: adapter entries")
     scale = float(data["__scale__"]) if "__scale__" in data.files else 1.0
     return lora, scale
+
+
+def debias_ema_lora(ema, init, alpha: float, step: int):
+    """Undo the zero-effect-init bias of the adapter EMA.
+
+    EMA starts at the init adapters (B=0 => zero effect), so after N
+    steps it is down-weighted toward the base model by alpha^N — an
+    82%-toward-zero anchor at N=200. Standard correction (ema_N =
+    alpha^N*init + (1-alpha)*sum alpha^(N-k)*x_k): subtract the decayed
+    init and renormalize by 1-alpha^N. Exact for any init."""
+    if step <= 0:
+        return ema
+    w = 1.0 - alpha**step
+    decay = alpha**step
+    return jax.tree.map(
+        lambda e, i: (np.asarray(e, np.float32)
+                      - decay * np.asarray(i, np.float32)) / w,
+        ema, init)
 
 
 def lora_finetune(config, init_params: Optional[Any] = None
@@ -169,6 +217,13 @@ def lora_finetune(config, init_params: Optional[Any] = None
     scale = alpha / rank
     targets = tuple(train_config.lora_targets or DEFAULT_TARGETS)
 
+    if train_config.use_wandb or train_config.run_id:
+        import warnings
+
+        warnings.warn(
+            "lora_finetune ignores use_wandb/run_id (no wandb logging or "
+            "run resume in LoRA mode yet); losses are returned and "
+            "adapters checkpoint to <run>/lora.npz", stacklevel=2)
     if train_config.fsdp or train_config.pipeline_parallel:
         raise ValueError("lora_rank > 0 does not compose with "
                          "fsdp/pipeline_parallel: the base params are "
@@ -221,6 +276,9 @@ def lora_finetune(config, init_params: Optional[Any] = None
 
     lora = init_lora_params(base, rank, seed=train_config.seed,
                             targets=targets)
+    # host copy of the init adapters: needed to debias the EMA at save
+    # time (the EMA is anchored at this zero-effect init)
+    init_lora_host = jax.tree.map(np.asarray, jax.device_get(lora))
     log(f"lora rank {rank} (alpha {alpha}): "
         f"{count_lora_parameters(lora)} trainable / "
         f"{sum(int(np.prod(p.shape)) for p in jax.tree.leaves(base))} base "
@@ -271,33 +329,60 @@ def lora_finetune(config, init_params: Optional[Any] = None
     def save_now():
         if is_main and train_config.save_model:
             os.makedirs(run_dir, exist_ok=True)
-            # EMA adapters, matching the main loop's
-            # checkpoint-the-EMA semantics (reference train.py:149-158)
-            save_lora(lora_path, jax.device_get(state["ema_lora"]),
-                      scale=scale)
+            # EMA adapters, matching the main loop's checkpoint-the-EMA
+            # semantics (reference train.py:149-158) — debiased so short
+            # runs are not down-weighted toward the zero-effect init —
+            # plus the raw last-step adapters under raw:: keys
+            step_now = int(jax.device_get(state["step"]))
+            ema_host = jax.device_get(state["ema_lora"])
+            save_lora(
+                lora_path,
+                debias_ema_lora(ema_host, init_lora_host,
+                                train_config.alpha, step_now),
+                scale=scale,
+                raw=jax.device_get(state["lora"]))
+
+    from transformer_latent_diffusion_tpu.train.train import (
+        GracefulShutdown,
+    )
 
     rng = jax.random.PRNGKey(train_config.seed)
     losses = []
     global_step = 0
-    for epoch in range(1, train_config.n_epoch + 1):
-        log(f"epoch: {epoch}")
-        for x_host, y_host in batcher.epoch():
-            if (global_step % train_config.save_and_eval_every_iters == 0
-                    and global_step > 0):
-                save_now()
-            x = jax.device_put(x_host, b_shard)
-            y = jax.device_put(y_host, b_shard)
-            state, loss = lora_step(
-                state, x, y, jax.random.fold_in(rng, global_step))
-            losses.append(loss)
-            global_step += 1
-            if global_step % 16 == 0:
-                losses[-1] = float(losses[-1])  # bound the dispatch queue
+    # same preemption semantics as train.main: SIGTERM/SIGINT finish the
+    # in-flight step, fall through to the final save_now, return cleanly
+    with GracefulShutdown(enabled=train_config.handle_signals) as shutdown:
+        for epoch in range(1, train_config.n_epoch + 1):
+            if shutdown.requested:
+                break
+            log(f"epoch: {epoch}")
+            for x_host, y_host in batcher.epoch():
+                if shutdown.requested:
+                    break
+                if (global_step % train_config.save_and_eval_every_iters
+                        == 0 and global_step > 0):
+                    save_now()
+                x = jax.device_put(x_host, b_shard)
+                y = jax.device_put(y_host, b_shard)
+                state, loss = lora_step(
+                    state, x, y, jax.random.fold_in(rng, global_step))
+                losses.append(loss)
+                global_step += 1
+                if global_step % 16 == 0:
+                    losses[-1] = float(losses[-1])  # bound dispatch queue
 
+    if shutdown.requested:
+        log(f"preemption signal received: stopping at step {global_step}")
     save_now()
+    if shutdown.requested and train_config.save_model:
+        log(f"preemption checkpoint saved at step {global_step}")
     losses = [float(l) for l in losses]
     if losses:
         log(f"final loss {np.mean(losses[-10:]):.5f}")
     return {"state": state, "losses": losses, "global_step": global_step,
-            "lora": state["ema_lora"], "scale": scale,
+            "lora": debias_ema_lora(jax.device_get(state["ema_lora"]),
+                                    init_lora_host, train_config.alpha,
+                                    int(jax.device_get(state["step"]))),
+            "raw_lora": state["lora"], "scale": scale,
+            "preempted": shutdown.requested,
             "lora_path": lora_path if train_config.save_model else None}
