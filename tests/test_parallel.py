@@ -6,6 +6,7 @@ import importlib.util
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 from jax.sharding import PartitionSpec as P
 
 from transformer_latent_diffusion_tpu.parallel import (
@@ -165,12 +166,19 @@ def test_fused_kernels_gated_off_under_tensor_parallelism():
     assert np.isfinite(float(loss))
 
 
-def test_dp_shard_map_grads_match_manual_average():
+@pytest.mark.parametrize("kernel_kw", [
+    {"fused_mlp_vjp": True},
+    # fused_layer_vjp is the DEFAULT-ON kernel under shard_map-DP on TPU
+    # (train.py resolve_fused_flags) — a different custom-VJP primitive,
+    # so it gets its own exactness run (VERDICT r2 #4)
+    {"fused_layer_vjp": True},
+])
+def test_dp_shard_map_grads_match_manual_average(kernel_kw):
     """The shard_map DP train path (how fused Pallas kernels compose
     with multi-chip data parallelism) must produce exactly the
     psum-average of per-shard gradients, each computed with
     fold_in(rng, shard_index) — verified against a single-device
-    per-shard reference, with the fused MLP kernel forced ON
+    per-shard reference, with the fused kernel under test forced ON
     (interpret-mode Pallas on CPU)."""
     from dataclasses import asdict
 
@@ -189,7 +197,7 @@ def test_dp_shard_map_grads_match_manual_average():
     cfg = DenoiserConfig(image_size=8, embed_dim=64, n_layers=1,
                          noise_embed_dims=64)
     train_cfg = TrainConfig(batch_size=2 * dp, compute_dtype="float32")
-    model = Denoiser(**asdict(cfg), fused_mlp_vjp=True)
+    model = Denoiser(**asdict(cfg), **kernel_kw)
     params = init_denoiser_params(model, cfg)
     optimizer = optax.sgd(1.0)  # updates == -grads: grads visible exactly
 
