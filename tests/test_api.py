@@ -1,7 +1,11 @@
 """Serving API tests — mirrors reference tests/test_api.py (root 200,
-unauthorized 401, authorized generate -> valid JPEG) against the WSGI
-frontend in-process (fastapi frontend is picked automatically when
-installed; same core handler either way)."""
+unauthorized 401, authorized generate -> valid JPEG).
+
+The whole matrix is parametrized over BOTH frontends (VERDICT r2 #5):
+the dependency-free WSGI twin always runs; the FastAPI/pydantic frontend
+runs wherever fastapi is installed (CI installs .[test,serve]) through a
+minimal in-process ASGI client, so the two implementations are held to
+one shared validation contract."""
 
 import io
 import json
@@ -46,13 +50,73 @@ class WsgiClient:
                             body=json.dumps(payload).encode())
 
 
-@pytest.fixture(scope="module")
-def client():
+class AsgiClient:
+    """Tiny in-process ASGI test client for the FastAPI frontend (no
+    httpx/TestClient needed). Same request/response dict contract as
+    WsgiClient, so one test matrix drives both frontends."""
+
+    def __init__(self, app):
+        self.app = app
+
+    def request(self, method, path, headers=None, body=b""):
+        import asyncio
+
+        hdrs = [(b"content-type", b"application/json"),
+                (b"content-length", str(len(body)).encode())]
+        for k, v in (headers or {}).items():
+            hdrs.append((k.lower().encode(), v.encode()))
+        scope = {
+            "type": "http", "asgi": {"version": "3.0"},
+            "http_version": "1.1", "method": method, "path": path,
+            "raw_path": path.encode(), "query_string": b"",
+            "root_path": "", "scheme": "http",
+            "server": ("testserver", 80), "client": ("testclient", 1),
+            "headers": hdrs,
+        }
+        out = {"chunks": []}
+        delivered = False
+
+        async def receive():
+            nonlocal delivered
+            if delivered:
+                # no disconnect ever: starlette's StreamingResponse races
+                # a disconnect listener against the body writer — an
+                # immediate disconnect could truncate the response. Block
+                # until the response task group cancels us.
+                await asyncio.Event().wait()
+            delivered = True
+            return {"type": "http.request", "body": body,
+                    "more_body": False}
+
+        async def send(msg):
+            if msg["type"] == "http.response.start":
+                out["status"] = msg["status"]
+                out["headers"] = {k.decode().title(): v.decode()
+                                  for k, v in msg["headers"]}
+            elif msg["type"] == "http.response.body":
+                out["chunks"].append(msg.get("body", b""))
+
+        asyncio.run(self.app(scope, receive, send))
+        return {"status": out["status"], "headers": out["headers"],
+                "body": b"".join(out["chunks"])}
+
+    get = WsgiClient.get
+    post_json = WsgiClient.post_json
+
+
+@pytest.fixture(scope="module", params=["wsgi", "fastapi"])
+def client(request):
     os.environ.setdefault("API_TOKEN", "test-token")
     from tests.test_diffusion import tiny_ltd_config
 
-    app = create_wsgi_app(tiny_ltd_config())
-    return WsgiClient(app)
+    if request.param == "fastapi":
+        pytest.importorskip("fastapi")
+        from transformer_latent_diffusion_tpu.serve.app import (
+            create_fastapi_app,
+        )
+
+        return AsgiClient(create_fastapi_app(tiny_ltd_config()))
+    return WsgiClient(create_wsgi_app(tiny_ltd_config()))
 
 
 def test_read_main(client):
