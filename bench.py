@@ -18,6 +18,7 @@ import jax.numpy as jnp
 import numpy as np
 
 A100_ANCHOR_IMGS_PER_SEC = 18.0  # 50-step-DDIM-equivalent (BASELINE.md)
+A100_TRAIN_SAMPLES_PER_SEC = 578.0  # ~2.26 it/s at batch 256 (BASELINE.md)
 
 
 def log(*a):
@@ -288,6 +289,78 @@ def main():
         except Exception as e:  # best-effort, never sink the headline
             log(f"ref-headline measurement failed: {type(e).__name__}: {e}")
 
+    # ---- training throughput (VERDICT r2 #2: driver-visible, every round) ----
+    # Flagship 101M config, batch 256, the REAL donated jitted train step
+    # from train.main (Beta noise, corruption, CFG dropout, fused per-layer
+    # VJP kernels, Adam, EMA). Anchor: reference trains at ~2.26 it/s at
+    # batch 256 on one A100 => ~578 samples/s (BASELINE.md, README.md:192).
+    train_stats = {}
+    if on_tpu and cli.cache_interval == 1 and cli.quantize is None:
+        try:
+            import optax
+
+            from transformer_latent_diffusion_tpu.configs import TrainConfig
+            from transformer_latent_diffusion_tpu.train.train import (
+                _build_train_step,
+            )
+
+            train_batch, n_steps = 256, 20
+            tmodel = Denoiser(**cfg.__dict__, dtype=dtype,
+                              fused_layer_vjp=True)
+            tparams = init_denoiser_params(tmodel, cfg)
+            optimizer = optax.adam(3e-4)
+            state = {
+                "params": tparams,
+                "ema_params": jax.tree.map(jnp.copy, tparams),
+                "opt_state": optimizer.init(tparams),
+                "step": jnp.asarray(0),
+            }
+            step_fn = jax.jit(
+                _build_train_step(tmodel, optimizer,
+                                  TrainConfig(batch_size=train_batch),
+                                  vae_scale_factor=8.0),
+                donate_argnums=(0,),
+            )
+            rng = np.random.default_rng(0)
+            x = jnp.asarray(rng.standard_normal(
+                (train_batch, 4, cfg.image_size, cfg.image_size)),
+                jnp.float32)
+            y = jnp.asarray(
+                rng.standard_normal((train_batch, 768)), jnp.float32)
+            # compile, then several warm steps: the first ~5 steps of a
+            # fresh process carry ~50-70 ms/step of runtime warm-up noise
+            # (measured; docs/DESIGN.md) that would understate throughput
+            for i in range(6):
+                state, loss = step_fn(state, x, y, jax.random.fold_in(
+                    jax.random.PRNGKey(9), i))
+            float(loss)
+            t0 = time.time()
+            for i in range(n_steps):
+                state, loss = step_fn(state, x, y, jax.random.fold_in(
+                    jax.random.PRNGKey(1), i))
+            float(loss)
+            dt_tr = (time.time() - t0) / n_steps
+            # fwd+bwd ~= 3x the forward matmul FLOPs
+            tr_flops = 3.0 * denoiser_flops_per_call(cfg, train_batch)
+            tr_tflops = tr_flops / dt_tr / 1e12
+            peak = roofline.get("measured_peak_tflops_bf16")
+            train_stats = {
+                "train_ms_per_step": round(dt_tr * 1e3, 1),
+                "train_samples_per_sec": round(train_batch / dt_tr, 1),
+                "train_tflops": round(tr_tflops, 1),
+                "train_vs_a100_anchor": round(
+                    train_batch / dt_tr / A100_TRAIN_SAMPLES_PER_SEC, 3),
+            }
+            if peak:
+                train_stats["train_pct_of_peak"] = round(
+                    100 * tr_tflops / peak, 1)
+            log(f"train: {train_stats['train_ms_per_step']} ms/step = "
+                f"{train_stats['train_samples_per_sec']} samples/s "
+                f"({train_stats['train_vs_a100_anchor']}x A100 anchor, "
+                f"{train_stats.get('train_pct_of_peak', '?')}% of peak)")
+        except Exception as e:  # best-effort, never sink the headline
+            log(f"train bench failed: {type(e).__name__}: {e}")
+
     metric = "256px_imgs_per_sec_per_chip_50step_ddim_b32_incl_vae"
     if cli.quantize:
         metric += f"_{cli.quantize}"
@@ -300,6 +373,7 @@ def main():
         "vs_baseline": round(imgs_per_sec / A100_ANCHOR_IMGS_PER_SEC, 3),
         **roofline,
         **ref_headline,
+        **train_stats,
     }))
 
 
