@@ -269,6 +269,52 @@ def test_generate_image_with_acceleration_knobs(client):
     assert img.format == "JPEG"
 
 
+def test_serving_compile_count_is_bounded():
+    """A hostile client cycling num_imgs / n_iter must not force one XLA
+    scan compile per distinct value (VERDICT r2 #7): the service snaps
+    both to fixed buckets (num_imgs padded then sliced; n_iter rounded
+    up, capped at the largest bucket), bounding the sampler cache at
+    |num_buckets| x |iter_buckets|."""
+    import PIL.Image as PILImage
+
+    from tests.test_diffusion import tiny_ltd_config
+    from transformer_latent_diffusion_tpu.sampling import (
+        DiffusionTransformer,
+    )
+    from transformer_latent_diffusion_tpu.serve.app import GenerationService
+
+    dt = DiffusionTransformer(tiny_ltd_config())
+    svc = GenerationService(transformer=dt, num_imgs_buckets=(1, 2, 4),
+                            n_iter_buckets=(3, 5))
+    jpegs = {}
+    for n in (1, 2, 3):
+        for it in (2, 3, 6, 99):  # 99 > max bucket -> capped at 5
+            jpegs[(n, it)] = svc.generate_jpeg(
+                prompt="cat", num_imgs=n, n_iter=it, seed=4)
+    # scan cache keys are (n_steps=n_iter-1, shape, ...); the cache also
+    # holds one shared non-scan helper ("post_u8")
+    scans = [k for k in dt.diffuser._compiled if isinstance(k, tuple)]
+    assert len(scans) <= 6, scans  # 3 num buckets x 2 iter buckets
+    # every compiled scan sits exactly on a bucket
+    for (n_steps, shape, *_rest) in scans:
+        assert n_steps in (2, 4), n_steps  # n_iter buckets {3,5} minus 1
+        assert shape[0] in (1, 2, 4), shape
+    # a padded request (num_imgs=3 -> bucket 4) still returns exactly 3
+    # images (nrow=1 grid: one per row -> ~3x the single-image height;
+    # a leaked pad image would make it 4 rows)
+    img = PILImage.open(io.BytesIO(jpegs[(3, 3)]))
+    one = PILImage.open(io.BytesIO(jpegs[(1, 3)]))
+    assert img.size[0] == one.size[0]
+    assert 2 * one.size[1] < img.size[1] < 4 * one.size[1] - 8
+
+    # buckets disabled -> requests hit the cache at their raw values
+    svc_raw = GenerationService(transformer=dt, num_imgs_buckets=None,
+                                n_iter_buckets=None)
+    svc_raw.generate_jpeg(prompt="cat", num_imgs=3, n_iter=7)
+    assert any(isinstance(k, tuple) and k[0] == 6 and k[1][0] == 3
+               for k in dt.diffuser._compiled)
+
+
 def test_generate_image_interpolation(client):
     """interpolate_to / seed_b request fields: a one-row strip JPEG."""
     token = {"Authorization": "Bearer test-token"}

@@ -265,6 +265,23 @@ class DiffusionTransformer:
         self._base_params = params
         self.diffuser.params = params
 
+    @staticmethod
+    def _resolve_pad(pad_to, num_imgs: int) -> int:
+        """Validated generation batch size for compile-count bucketing:
+        `pad_to` >= num_imgs images are generated and the first num_imgs
+        are returned, so one XLA scan per bucket serves every smaller
+        request (serve/app.py policy; VERDICT r2 #7). Note the padded
+        batch draws its noise at the BUCKET shape, so a bucketed result
+        differs from the unpadded one for the same seed — deterministic
+        per (seed, bucket), which is what a fixed server policy gives."""
+        if pad_to is None:
+            return num_imgs
+        p = int(pad_to)
+        if p < num_imgs:
+            raise ValueError(
+                f"pad_to={p} is smaller than num_imgs={num_imgs}")
+        return p
+
     def generate_image_from_text(
         self,
         prompt: str,
@@ -275,6 +292,7 @@ class DiffusionTransformer:
         n_iter=15,
         cache_interval=1,
         negative_prompt=None,
+        pad_to=None,
     ):
         """Prompt -> PIL image grid. Parity: reference diffusion.py:165-186
         (including: the latent size comes from the model's image_size; the
@@ -292,13 +310,16 @@ class DiffusionTransformer:
             prompts = [prompt] * num_imgs
         nrow = int(math.sqrt(num_imgs))
 
+        gen_n = self._resolve_pad(pad_to, num_imgs)
+        if gen_n > num_imgs:
+            prompts = prompts + [prompts[-1]] * (gen_n - num_imgs)
         labels, negative_labels = self._encode_prompts(
-            prompts, negative_prompt, num_imgs)
+            prompts, negative_prompt, gen_n)
         # output="uint8" quantizes on device (same math as the float
         # path + to_pil) so only H*W*3 bytes per image leave the chip
         out, _ = self.diffuser.generate(
             labels=labels,
-            num_imgs=num_imgs,
+            num_imgs=gen_n,
             img_size=self.diffuser.model.image_size,
             class_guidance=class_guidance,
             seed=seed,
@@ -311,7 +332,8 @@ class DiffusionTransformer:
             output="uint8",
             negative_labels=negative_labels,
         )
-        return uint8_grid_to_pil(np.asarray(out), nrow=nrow, padding=4)
+        return uint8_grid_to_pil(np.asarray(out)[:num_imgs], nrow=nrow,
+                                 padding=4)
 
     def _encode_init_image(self, image):
         """PIL / (H,W,3) / (B,H,W,3) image -> sampler-unit latents.
@@ -359,6 +381,7 @@ class DiffusionTransformer:
         num_imgs=1,
         n_iter=15,
         negative_prompt=None,
+        pad_to=None,
     ):
         """Image + prompt -> PIL image grid (img2img, beyond reference).
 
@@ -375,11 +398,15 @@ class DiffusionTransformer:
             num_imgs = int(lat.shape[0])
         nrow = int(math.sqrt(num_imgs))
 
+        gen_n = self._resolve_pad(pad_to, num_imgs)
+        if gen_n > num_imgs and lat.shape[0] > 1:
+            lat = np.concatenate(
+                [lat, np.repeat(lat[-1:], gen_n - num_imgs, axis=0)])
         labels, negative_labels = self._encode_prompts(
-            prompt, negative_prompt, num_imgs)
+            prompt, negative_prompt, gen_n)
         out, _ = self.diffuser.generate(
             labels=labels,
-            num_imgs=num_imgs,
+            num_imgs=gen_n,
             img_size=self.diffuser.model.image_size,
             class_guidance=class_guidance,
             seed=seed,
@@ -393,7 +420,8 @@ class DiffusionTransformer:
             init_latents=lat,
             strength=strength,
         )
-        return uint8_grid_to_pil(np.asarray(out), nrow=nrow, padding=4)
+        return uint8_grid_to_pil(np.asarray(out)[:num_imgs], nrow=nrow,
+                                 padding=4)
 
     def outpaint(
         self,
@@ -585,6 +613,7 @@ class DiffusionTransformer:
         num_imgs=1,
         n_iter=15,
         negative_prompt=None,
+        pad_to=None,
     ):
         """Regenerate the masked region of `image` under `prompt`
         (inpainting, beyond reference).
@@ -617,11 +646,15 @@ class DiffusionTransformer:
             num_imgs = int(lat.shape[0])
         nrow = int(math.sqrt(num_imgs))
 
+        gen_n = self._resolve_pad(pad_to, num_imgs)
+        if gen_n > num_imgs and lat.shape[0] > 1:
+            lat = np.concatenate(
+                [lat, np.repeat(lat[-1:], gen_n - num_imgs, axis=0)])
         labels, negative_labels = self._encode_prompts(
-            prompt, negative_prompt, num_imgs)
+            prompt, negative_prompt, gen_n)
         out, _ = self.diffuser.generate(
             labels=labels,
-            num_imgs=num_imgs,
+            num_imgs=gen_n,
             img_size=want,
             class_guidance=class_guidance,
             seed=seed,
@@ -636,4 +669,5 @@ class DiffusionTransformer:
             strength=strength,
             mask=m,
         )
-        return uint8_grid_to_pil(np.asarray(out), nrow=nrow, padding=4)
+        return uint8_grid_to_pil(np.asarray(out)[:num_imgs], nrow=nrow,
+                                 padding=4)

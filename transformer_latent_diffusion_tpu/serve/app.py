@@ -29,6 +29,9 @@ from typing import Optional
 
 from transformer_latent_diffusion_tpu.configs import LTDConfig
 
+# sentinel: "use the SERVE_*_BUCKETS env var, else the class default"
+_ENV_DEFAULT = object()
+
 
 class GenerationService:
     """Model wrapper shared by both frontends.
@@ -39,9 +42,43 @@ class GenerationService:
     Requests with cache_interval != 1 bypass the batcher.
     """
 
+    # compile-count bucketing policy (VERDICT r2 #7): every distinct
+    # (num_imgs, n_iter) pair compiles its own XLA scan — multi-second
+    # cold, multi-MINUTE through a tunneled TPU — so a client cycling
+    # num_imgs 1..32 would force 32 compiles. The service snaps num_imgs
+    # UP to a bucket (padded images are generated and sliced off) and
+    # n_iter UP to a bucket (more steps than asked = same-or-better
+    # quality; the largest bucket also caps hostile step counts), so at
+    # most |num_buckets| x |iter_buckets| scans ever compile. Override
+    # with SERVE_NUM_IMGS_BUCKETS / SERVE_N_ITER_BUCKETS ("" disables).
+    DEFAULT_NUM_IMGS_BUCKETS = (1, 2, 4, 8, 16, 32)
+    DEFAULT_N_ITER_BUCKETS = (4, 8, 15, 25, 50)
+
+    @staticmethod
+    def _env_buckets(env: str, default):
+        raw = os.getenv(env)
+        if raw is None:
+            return default
+        raw = raw.strip()
+        if not raw or raw == "0":
+            return None
+        return tuple(sorted(int(x) for x in raw.split(",")))
+
+    @staticmethod
+    def _snap_up(value: int, buckets) -> int:
+        """Smallest bucket >= value, else the largest bucket. The
+        largest-bucket clamp is applied to n_iter (a step-count cap);
+        num_imgs callers skip bucketing entirely above the largest
+        bucket instead (every requested image must be returned)."""
+        for b in buckets:
+            if b >= value:
+                return b
+        return buckets[-1]
+
     def __init__(self, cfg: Optional[LTDConfig] = None, transformer=None,
                  microbatch: Optional[int] = None, max_wait_ms: float = 25.0,
-                 request_timeout_s: Optional[float] = None):
+                 request_timeout_s: Optional[float] = None,
+                 num_imgs_buckets=_ENV_DEFAULT, n_iter_buckets=_ENV_DEFAULT):
         from transformer_latent_diffusion_tpu.sampling import DiffusionTransformer
 
         self.transformer = transformer or DiffusionTransformer(cfg or LTDConfig())
@@ -54,6 +91,16 @@ class GenerationService:
         if request_timeout_s is None:
             request_timeout_s = float(os.getenv("SERVE_TIMEOUT_S", "900"))
         self.request_timeout_s = request_timeout_s
+        if num_imgs_buckets is _ENV_DEFAULT:
+            num_imgs_buckets = self._env_buckets(
+                "SERVE_NUM_IMGS_BUCKETS", self.DEFAULT_NUM_IMGS_BUCKETS)
+        if n_iter_buckets is _ENV_DEFAULT:
+            n_iter_buckets = self._env_buckets(
+                "SERVE_N_ITER_BUCKETS", self.DEFAULT_N_ITER_BUCKETS)
+        self.num_imgs_buckets = (tuple(sorted(num_imgs_buckets))
+                                 if num_imgs_buckets else None)
+        self.n_iter_buckets = (tuple(sorted(n_iter_buckets))
+                               if n_iter_buckets else None)
         self.batcher = None
         if microbatch:
             from transformer_latent_diffusion_tpu.serve.batcher import MicroBatcher
@@ -132,6 +179,13 @@ class GenerationService:
                 and init_image is not None:
             raise ValueError("interpolate_to/seed_b do not compose with "
                              "init_image")
+        if self.n_iter_buckets:
+            n_iter = self._snap_up(n_iter, self.n_iter_buckets)
+        pad_to = None
+        if self.num_imgs_buckets and num_imgs <= self.num_imgs_buckets[-1]:
+            pad_to = self._snap_up(num_imgs, self.num_imgs_buckets)
+            if pad_to == num_imgs:
+                pad_to = None
         if init_image is not None:
             # img2img / inpainting (base64-encoded PNG/JPEG payloads);
             # bypasses the batcher — per-request init latents don't
@@ -156,14 +210,14 @@ class GenerationService:
                     src, m, prompt, strength=strength,
                     class_guidance=class_guidance, seed=seed,
                     num_imgs=num_imgs, n_iter=n_iter,
-                    negative_prompt=negative_prompt,
+                    negative_prompt=negative_prompt, pad_to=pad_to,
                 )
             else:
                 img = self.transformer.image_to_image(
                     src, prompt, strength=strength,
                     class_guidance=class_guidance, seed=seed,
                     num_imgs=num_imgs, n_iter=n_iter,
-                    negative_prompt=negative_prompt,
+                    negative_prompt=negative_prompt, pad_to=pad_to,
                 )
         elif interpolate_to is not None or seed_b is not None:
             # prompt/noise interpolation strip: num_imgs = frame count;
@@ -186,7 +240,7 @@ class GenerationService:
                 prompt=prompt, class_guidance=class_guidance, seed=seed,
                 num_imgs=num_imgs, img_size=img_size, n_iter=n_iter,
                 cache_interval=cache_interval,
-                negative_prompt=negative_prompt,
+                negative_prompt=negative_prompt, pad_to=pad_to,
             )
         buf = io.BytesIO()
         img.save(buf, format="JPEG")
