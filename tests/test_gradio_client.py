@@ -88,3 +88,16 @@ def test_gradio_client_interpolation(live_server, monkeypatch):
                                    interpolate_to="a dog", n_frames=3)
     assert isinstance(img, PIL.Image.Image)
     assert img.size == (3 * 32 + 4 * 4, 32 + 8)  # 3-frame strip
+
+    # noise-space morph: seed_b >= 0 requests a seed->seed_b strip even
+    # without a prompt morph (VERDICT r2 #8: the HTTP schema's seed_b is
+    # reachable from the UI client)
+    img = generate_image_from_text("a cat", n_iter=3, seed=3, seed_b=9,
+                                   n_frames=2)
+    assert isinstance(img, PIL.Image.Image)
+    assert img.size == (2 * 32 + 3 * 4, 32 + 8)  # 2-frame strip
+
+    # seed_b=-1 (the UI default) stays a plain single-image generation
+    img = generate_image_from_text("a cat", n_iter=3, seed_b=-1)
+    assert isinstance(img, PIL.Image.Image)
+    assert img.size == (32 + 8, 32 + 8)

@@ -42,6 +42,7 @@ def generate_image_from_text(prompt: str, class_guidance: float = 6,
                              strength: float = 0.5,
                              seed: int = 11, n_iter: int = 15,
                              interpolate_to: str = "",
+                             seed_b: float = -1,
                              n_frames: int = 4):
     import requests
     from PIL import Image
@@ -54,9 +55,15 @@ def generate_image_from_text(prompt: str, class_guidance: float = 6,
             "n_iter": int(n_iter)}
     if negative_prompt.strip():
         data["negative_prompt"] = negative_prompt
-    if interpolate_to.strip() and init_image is None:
-        # interpolation strip (excludes init_image server-side)
-        data["interpolate_to"] = interpolate_to
+    morph = (interpolate_to.strip() or int(seed_b) >= 0)
+    if morph and init_image is None:
+        # interpolation strip (excludes init_image server-side):
+        # prompt-morph via interpolate_to and/or noise-space morph via
+        # seed_b (seed -> seed_b DDIM slerp; -1 = off)
+        if interpolate_to.strip():
+            data["interpolate_to"] = interpolate_to
+        if int(seed_b) >= 0:
+            data["seed_b"] = int(seed_b)
         data["num_imgs"] = int(n_frames)
     if init_image is not None:
         data["init_image"] = _b64_png(init_image)
@@ -87,6 +94,9 @@ def build_interface():
                 gr.Slider(1, 50, value=15, step=1, label="Steps"),
                 gr.Textbox(label="Interpolate to (optional: prompt-morph "
                                  "strip)"),
+                gr.Number(value=-1, precision=0,
+                          label="Seed B (optional: noise-morph strip from "
+                                "Seed to Seed B; -1 = off)"),
                 gr.Slider(2, 10, value=4, step=1, label="Frames")],
         outputs="image",
         title="Text-to-Image Generator",
