@@ -42,6 +42,11 @@ def main():
     ap.add_argument("--vae-npz", default=None,
                     help="converted VAE weights (scripts/convert_towers.py);"
                          " random-init without (relative numbers only)")
+    ap.add_argument("--vae-blocks", default=None,
+                    help="comma-separated block_out_channels if the VAE is "
+                         "not the sdxl default")
+    ap.add_argument("--vae-layers", type=int, default=None)
+    ap.add_argument("--vae-latent", type=int, default=None)
     ap.add_argument("--batch-size", type=int, default=32)
     args = ap.parse_args()
 
@@ -59,12 +64,24 @@ def main():
         )
         from transformer_latent_diffusion_tpu.models.vae import FlaxVae
 
+        from transformer_latent_diffusion_tpu.configs import VaeConfig
+
+        overrides = {}
+        if args.vae_blocks:
+            overrides["block_out_channels"] = tuple(
+                int(c) for c in args.vae_blocks.split(","))
+        if args.vae_layers is not None:
+            overrides["layers_per_block"] = args.vae_layers
+        if args.vae_latent is not None:
+            overrides["latent_channels"] = args.vae_latent
+        vae_cfg = VaeConfig(**overrides)
         params = None
         if args.vae_npz:
-            from transformer_latent_diffusion_tpu.configs import VaeConfig
-
-            params = load_vae_params(args.vae_npz, VaeConfig())
-        vae = FlaxVae.create(params=params)
+            params = load_vae_params(args.vae_npz, vae_cfg)
+        vae = FlaxVae.create(
+            block_out_channels=vae_cfg.block_out_channels,
+            layers_per_block=vae_cfg.layers_per_block,
+            latent_channels=vae_cfg.latent_channels, params=params)
         fa = vae_latent_features(_load_images(args.images_a), vae,
                                  args.batch_size)
         fb = vae_latent_features(_load_images(args.images_b), vae,

@@ -147,6 +147,58 @@ def test_frechet_distance_analytic():
     assert mu.shape == (3,) and cov.shape == (3, 3)
 
 
+def test_compute_fid_script_both_paths(tmp_path, monkeypatch, capsys):
+    """scripts/compute_fid.py end to end (VERDICT r2 #9): the
+    precomputed-features path (the literature-comparable escape hatch —
+    feed real InceptionV3/CLIP features, README 'Evaluation' recipe) and
+    the tower-free VAE-latent-images path."""
+    import json
+    import os
+    import runpy
+    import sys
+
+    root = os.path.abspath(os.path.join(os.path.dirname(__file__), ".."))
+    script = os.path.join(root, "scripts", "compute_fid.py")
+    rng = np.random.default_rng(0)
+
+    # precomputed extractor features, e.g. Inception pool3 (here random
+    # 2048-d): shifted gaussians must give a positive finite FID, and
+    # identical sets ~0
+    real = rng.standard_normal((256, 2048)).astype(np.float32)
+    fake = (real + 1.5).astype(np.float32)
+    np.save(tmp_path / "real.npy", real)
+    np.save(tmp_path / "fake.npy", fake)
+    for b, positive in (("fake.npy", True), ("real.npy", False)):
+        monkeypatch.setattr(sys, "argv", [
+            "compute_fid.py", "--features-a", str(tmp_path / "real.npy"),
+            "--features-b", str(tmp_path / b)])
+        runpy.run_path(script, run_name="__main__")
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert out["metric"] == "feature_fid"
+        assert out["n_a"] == out["n_b"] == 256
+        if positive:
+            # analytic: |dmu|^2 = 2048 * 1.5^2 (covariances identical)
+            np.testing.assert_allclose(out["value"], 2048 * 1.5**2,
+                                       rtol=0.05)
+        else:
+            # identical sets: ~0 up to eigensolver noise on the
+            # rank-deficient 2048-d covariance (N=256 samples)
+            assert abs(out["value"]) < 0.01
+
+    # image path: VAE-latent features with a tiny tower
+    imgs_a = rng.uniform(-1, 1, (8, 3, 32, 32)).astype(np.float32)
+    np.save(tmp_path / "imgs_a.npy", imgs_a)
+    np.save(tmp_path / "imgs_b.npy", np.clip(imgs_a + 0.4, -1, 1))
+    monkeypatch.setattr(sys, "argv", [
+        "compute_fid.py", "--images-a", str(tmp_path / "imgs_a.npy"),
+        "--images-b", str(tmp_path / "imgs_b.npy"),
+        "--vae-blocks", "8,16", "--vae-layers", "1", "--batch-size", "4"])
+    runpy.run_path(script, run_name="__main__")
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["metric"] == "vae_latent_fid"
+    assert out["value"] > 0 and np.isfinite(out["value"])
+
+
 def test_vae_latent_features():
     from transformer_latent_diffusion_tpu.models.vae import FlaxVae
     from transformer_latent_diffusion_tpu.utils.fid import (
