@@ -77,3 +77,22 @@ def test_example_distill_fewstep(tmp_path, monkeypatch):
                    run_name="__main__")
     assert os.path.exists(save)
     assert PIL.Image.open(out).size[0] > 0
+
+
+def test_example_lora_finetune(tmp_path, monkeypatch):
+    import PIL.Image
+    import numpy as np
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = str(tmp_path / "lora_samples.png")
+    save = str(tmp_path / "lora.npz")
+    monkeypatch.setattr(sys, "argv", [
+        "examples/lora_finetune.py", "--tiny",
+        "--out", out, "--save", save])
+    runpy.run_path(os.path.join(root, "examples", "lora_finetune.py"),
+                   run_name="__main__")
+    assert os.path.exists(save)
+    with np.load(save) as z:
+        assert float(z["__scale__"]) > 0
+        assert any(k.endswith("::b") for k in z.files)
+    assert PIL.Image.open(out).size[0] > 0
