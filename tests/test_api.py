@@ -346,3 +346,56 @@ def test_generate_image_interpolation(client):
     # client error (both frontends validate this before the handler)
     assert r["status"] == 422
     assert "compose" in json.loads(r["body"])["detail"]
+
+
+def test_ltd_config_json_roundtrip(tmp_path):
+    from transformer_latent_diffusion_tpu.configs import (
+        ClipConfig,
+        LTDConfig,
+        VaeConfig,
+        config_to_json,
+        ltd_config_from_json,
+    )
+
+    cfg = LTDConfig(
+        vae_cfg=VaeConfig(block_out_channels=(8, 16), layers_per_block=1),
+        clip_cfg=ClipConfig(width=64, heads=2, layers=2),
+        use_pallas=False,
+        quantize="int8",
+        mesh_shape=(8, 1),
+    )
+    p = tmp_path / "ltd.json"
+    p.write_text(config_to_json(cfg))
+    loaded = ltd_config_from_json(str(p))
+    assert loaded == cfg  # tuples restored, nested dataclasses rebuilt
+
+    with pytest.raises(TypeError):  # strict like DenoiserConfig(**json)
+        ltd_config_from_json({"no_such_field": 1})
+
+
+def test_serve_config_env_builds_the_service(tmp_path, monkeypatch):
+    """SERVE_CONFIG points create_app at an operator LTDConfig JSON."""
+    from tests.test_diffusion import tiny_ltd_config
+
+    from transformer_latent_diffusion_tpu.configs import config_to_json
+    from transformer_latent_diffusion_tpu.serve import create_app
+
+    p = tmp_path / "ltd.json"
+    p.write_text(config_to_json(tiny_ltd_config()))
+    monkeypatch.setenv("SERVE_CONFIG", str(p))
+    monkeypatch.setenv("API_TOKEN", "test-token")
+    app = create_app()  # fastapi frontend where installed, else WSGI
+    try:
+        import fastapi  # noqa: F401
+
+        client = AsgiClient(app)
+    except ImportError:
+        client = WsgiClient(app)
+    assert client.get("/").get("status") == 200
+    r = client.post_json(
+        "/generate-image/",
+        {"prompt": "a cute cat", "num_imgs": 1, "n_iter": 3,
+         "img_size": 16},
+        headers={"Authorization": "Bearer test-token"})
+    assert r["status"] == 200
+    assert r["body"][:3] == b"\xff\xd8\xff"

@@ -299,5 +299,43 @@ def denoiser_config_from_json(path: str) -> DenoiserConfig:
         return DenoiserConfig(**json.load(f))
 
 
+def _detuple(value):
+    # JSON has no tuples; every sequence field on the inference configs
+    # (block_out_channels, mesh_shape, ...) wants one
+    return tuple(value) if isinstance(value, list) else value
+
+
+_LTD_NESTED = {
+    "denoiser_cfg": "DenoiserConfig",
+    "denoiser_load": "DenoiserLoad",
+    "vae_cfg": "VaeConfig",
+    "clip_cfg": "ClipConfig",
+}
+
+
+def ltd_config_from_json(path_or_dict) -> "LTDConfig":
+    """Full inference-config JSON loader: `config_to_json(LTDConfig(...))`
+    round-trips through this (nested dataclasses reconstructed, lists
+    restored to tuples). Unknown keys raise, like the reference's
+    `DenoiserConfig(**json.load(f))` pattern. Used by the serving
+    entry point (`python -m ...serve --config ltd.json` / SERVE_CONFIG)
+    so operators can point the service at real weights, sizes, LoRA
+    adapters, or the int8 engine without writing Python."""
+    if isinstance(path_or_dict, (str, bytes)):
+        with open(path_or_dict) as f:
+            d = json.load(f)
+    else:
+        d = dict(path_or_dict)
+    kw = {}
+    for k, v in d.items():
+        cls_name = _LTD_NESTED.get(k)
+        if cls_name is not None and isinstance(v, dict):
+            cls = globals()[cls_name]
+            kw[k] = cls(**{nk: _detuple(nv) for nk, nv in v.items()})
+        else:
+            kw[k] = _detuple(v)
+    return LTDConfig(**kw)
+
+
 if __name__ == "__main__":
     print(LTDConfig())

@@ -422,6 +422,16 @@ def create_fastapi_app(cfg: Optional[LTDConfig] = None, service=None):
 
 
 def create_app(cfg: Optional[LTDConfig] = None, service=None):
+    if cfg is None and service is None and os.getenv("SERVE_CONFIG"):
+        # operator-provided inference config (weights, image size, LoRA,
+        # int8 engine, mesh) as a config_to_json(LTDConfig) file — the
+        # reference's module-level default-config init (app.py:18-19)
+        # generalized for deployment
+        from transformer_latent_diffusion_tpu.configs import (
+            ltd_config_from_json,
+        )
+
+        cfg = ltd_config_from_json(os.environ["SERVE_CONFIG"])
     try:
         import fastapi  # noqa: F401
 
