@@ -7,8 +7,10 @@ state_dict, so TPU-trained weights deploy on the reference stack
 
 Input: a .npz param tree (train/checkpoint.save_npz), or an orbax
 checkpoint dir (exports the EMA weights, matching what the reference
-checkpoints). Output: .pth via torch.save, or .npz of the flat
-torch-layout dict with --out x.npz (torch-free).
+checkpoints). Output: .pth via torch.save, .safetensors via the
+pure-numpy writer (torch-free, HF-ecosystem loadable — and our own
+load_denoiser_params round-trips it), or .npz of the flat torch-layout
+dict (torch-free).
 """
 
 import argparse
@@ -65,6 +67,13 @@ def main():
         import numpy as np
 
         np.savez(args.out, **sd)
+    elif args.out.endswith(".safetensors"):
+        from transformer_latent_diffusion_tpu.models.torch_compat import (
+            write_safetensors,
+        )
+
+        write_safetensors(sd, args.out,
+                          metadata={"format": "pt"})
     else:
         import torch
 

@@ -54,6 +54,52 @@ def read_safetensors(path: str) -> Dict[str, np.ndarray]:
     return out
 
 
+def write_safetensors(tensors: Dict[str, np.ndarray], path: str,
+                      metadata: Dict[str, str] | None = None) -> None:
+    """Dependency-free .safetensors writer (inverse of read_safetensors).
+
+    Emits the standard format (8-byte LE u64 header size, JSON header,
+    raw little-endian buffer), so files are loadable by the official
+    safetensors library and the HF ecosystem, not just our reader. The
+    header is space-padded to an 8-byte multiple per the spec so the
+    data section is aligned. bf16 arrays (ml_dtypes) are supported."""
+    import json
+
+    names = {
+        "float64": "F64", "float32": "F32", "float16": "F16",
+        "int64": "I64", "int32": "I32", "int16": "I16", "int8": "I8",
+        "uint8": "U8", "bool": "BOOL", "bfloat16": "BF16",
+    }
+    header: Dict[str, Any] = {}
+    if metadata:
+        header["__metadata__"] = dict(metadata)
+    blobs = []
+    off = 0
+    for name, arr in tensors.items():
+        arr = np.ascontiguousarray(arr)
+        if arr.dtype.byteorder == ">":
+            arr = arr.astype(arr.dtype.newbyteorder("<"))
+        key = names.get(arr.dtype.name)
+        if key is None:
+            raise ValueError(f"unsupported dtype {arr.dtype} for {name!r}")
+        raw = arr.tobytes()
+        header[name] = {"dtype": key, "shape": list(arr.shape),
+                        "data_offsets": [off, off + len(raw)]}
+        off += len(raw)
+        blobs.append(raw)
+    hjson = json.dumps(header, separators=(",", ":")).encode()
+    hjson += b" " * (-(8 + len(hjson)) % 8)
+    tmp = f"{path}.part"
+    with open(tmp, "wb") as f:
+        f.write(len(hjson).to_bytes(8, "little"))
+        f.write(hjson)
+        for raw in blobs:
+            f.write(raw)
+    import os
+
+    os.replace(tmp, path)
+
+
 def load_state_dict_file(path: str) -> Dict[str, Any]:
     """Load a checkpoint file into a flat name->array dict.
 
