@@ -69,7 +69,14 @@ def _consume(ref, arr):
 def make_bwd_kernel(mode):
     """Production _bwd_kernel with grad sections gated by `mode`; the
     forward recompute is always intact (ablations must not let Mosaic
-    DCE the recompute that the real kernel pays for)."""
+    DCE the recompute that the real kernel pays for).
+
+    mode == "bf16res": the full backward, but every recompute residual
+    is stored bf16 and upcast at use — halves the live-VMEM footprint
+    of the recompute stage (the per-stage table's weakest link) at the
+    cost of casts + ~3 digits on the softmax/LN/GELU grad inputs.
+    Measures whether VMEM pressure (not FLOPs) is what holds the
+    backward at ~98 TFLOPS."""
 
     def kernel(x_ref, cond_ref, g_ref,
                ln1s, ln1b, wqkv, ln2s, ln2b, wq, wkv,
@@ -113,6 +120,18 @@ def make_bwd_kernel(mode):
             w2[...], b2[0].astype(jnp.float32), hw, mxu,
             want_residuals=True)
 
+        if mode == "bf16res":
+            # store residuals bf16 (rstd stays f32); the grad sections
+            # below consume them via mixed-dtype promotion / the f32-
+            # accumulating _mm helpers, so no other code changes needed
+            down = lambda t: t.astype(jnp.bfloat16)  # noqa: E731
+            (xn1, xhat1, q, k, v, x1, xn2, xhat2, qc, kc, vc,
+             xn3, xhat3, h, c, a) = map(down, (
+                 xn1, xhat1, q, k, v, x1, xn2, xhat2, qc, kc, vc,
+                 xn3, xhat3, h, c, a))
+            p_self = [down(p) for p in p_self]
+            p_cross = [down(p) for p in p_cross]
+
         if mode == "recompute":
             # consume everything; no grad math
             dx_ref[0] = x2.astype(dx_ref.dtype)
@@ -138,7 +157,9 @@ def make_bwd_kernel(mode):
             dw2_ref[...] += _mm_tn(a.astype(mxu), g_lp)
             db2_ref[...] += jnp.sum(g, axis=0, keepdims=True)
             da = _mm_nt(g_lp, w2[...])
-            dc = da.reshape(hw, hw, kk) * _gelu_grad_f32(c)
+            # erf poly needs f32: Mosaic has no bf16 vector compare
+            dc = da.reshape(hw, hw, kk) * _gelu_grad_f32(
+                c.astype(jnp.float32))
             ddwb_ref[...] += jnp.sum(dc, axis=(0, 1)).reshape(1, kk)
             tap_grads = _dw_tap_grads(h.reshape(hw, hw, kk), dc, hw)
             for t in range(9):
@@ -308,7 +329,8 @@ def main():
     t_fwd = timed("fwd", fwd, x, cond)
 
     times = {}
-    for mode in ("full", "recompute", "no_mlp", "no_cross", "no_self"):
+    for mode in ("full", "bf16res", "recompute", "no_mlp", "no_cross",
+                 "no_self"):
         fn = jax.jit(lambda a, b_, c_, m=mode:
                      pallas_bwd_variant(m, a, b_, c_, pub))
         times[mode] = timed(mode, fn, x, cond, g)
