@@ -6,6 +6,10 @@ reference README.md TODOS section). Extractor-agnostic:
   # literature-comparable FID: bring your own extractor features
   python scripts/compute_fid.py --features-a real.npy --features-b fake.npy
 
+  # CLIP-FID (literature metric with real converted ViT-L/14 weights)
+  python scripts/compute_fid.py --images-a real_imgs.npy \
+      --images-b gen_imgs.npy --clip-vision towers/clip_vision.npz
+
   # tower-free relative metric: VAE-latent FID between two image sets
   python scripts/compute_fid.py --images-a real_imgs.npy \
       --images-b gen_imgs.npy --vae-npz towers/vae.npz
@@ -47,6 +51,14 @@ def main():
                          "not the sdxl default")
     ap.add_argument("--vae-layers", type=int, default=None)
     ap.add_argument("--vae-latent", type=int, default=None)
+    ap.add_argument("--clip-vision", default=None, nargs="?", const="",
+                    help="CLIP-FID on the image sets: converted image-"
+                         "tower .npz (convert_towers.py --clip-vision); "
+                         "pass bare --clip-vision for a random-init "
+                         "tower (relative numbers only)")
+    ap.add_argument("--clip-vision-arch", default=None,
+                    help="size,patch,width,heads,layers,embed_dim if not "
+                         "the ViT-L/14 default (tests use tiny towers)")
     ap.add_argument("--batch-size", type=int, default=32)
     args = ap.parse_args()
 
@@ -58,6 +70,37 @@ def main():
     if args.features_a and args.features_b:
         fa, fb = np.load(args.features_a), np.load(args.features_b)
         kind = "feature_fid"
+    elif args.images_a and args.images_b and args.clip_vision is not None:
+        # CLIP-FID: literature-comparable once real converted ViT-L/14
+        # weights are supplied (scripts/convert_towers.py --clip-vision)
+        from transformer_latent_diffusion_tpu.configs import ClipVisionConfig
+        from transformer_latent_diffusion_tpu.models.clip import (
+            FlaxClipVision,
+        )
+        from transformer_latent_diffusion_tpu.utils.clip_eval import (
+            clip_image_features,
+        )
+
+        vcfg = ClipVisionConfig(
+            weights_path=args.clip_vision or None)
+        if args.clip_vision_arch:
+            s, p, w, h, L, e = (int(v) for v in
+                                args.clip_vision_arch.split(","))
+            vcfg = ClipVisionConfig(weights_path=args.clip_vision or None,
+                                    image_size=s, patch_size=p, width=w,
+                                    heads=h, layers=L, embed_dim=e)
+        vt = FlaxClipVision.from_config(vcfg)
+
+        def _nhwc_uint8(path):
+            arr = _load_images(path)  # (N,3,H,W) float [-1,1]
+            return ((arr.transpose(0, 2, 3, 1) + 1.0) * 127.5).astype(
+                np.uint8)
+
+        fa = clip_image_features(_nhwc_uint8(args.images_a), vt,
+                                 args.batch_size)
+        fb = clip_image_features(_nhwc_uint8(args.images_b), vt,
+                                 args.batch_size)
+        kind = "clip_fid"
     elif args.images_a and args.images_b:
         from transformer_latent_diffusion_tpu.models.torch_compat import (
             load_vae_params,

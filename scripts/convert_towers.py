@@ -64,6 +64,11 @@ def main():
     ap.add_argument("--clip", help="CLIP checkpoint: HF transformers "
                                    "model.safetensors or openai ViT-L/14.pt, "
                                    "or URL")
+    ap.add_argument("--clip-vision",
+                    help="also convert the CLIP *image* tower (same HF "
+                         "model.safetensors or openai ViT-L/14.pt input) "
+                         "-> clip_vision.npz for CLIP-FID / CLIP-score "
+                         "eval (utils/clip_eval.py)")
     ap.add_argument("--vocab", help="openai CLIP BPE vocab "
                                     "(bpe_simple_vocab_16e6.txt.gz) or URL")
     ap.add_argument("--out-dir", default="towers")
@@ -77,8 +82,9 @@ def main():
     ap.add_argument("--vae-latent", type=int, default=None,
                     help="latent_channels if not the sdxl default (4)")
     args = ap.parse_args()
-    if not (args.vae or args.clip or args.vocab):
-        ap.error("nothing to do: pass --vae and/or --clip and/or --vocab")
+    if not (args.vae or args.clip or args.clip_vision or args.vocab):
+        ap.error("nothing to do: pass --vae and/or --clip and/or "
+                 "--clip-vision and/or --vocab")
 
     os.makedirs(args.out_dir, exist_ok=True)
 
@@ -140,6 +146,35 @@ def main():
         save_npz(out, params)
         print(f"wrote {out}")
         wiring["clip"] = out
+
+    if args.clip_vision:
+        from transformer_latent_diffusion_tpu.models.torch_compat import (
+            load_clip_vision_params,
+        )
+
+        src = _fetch(args.clip_vision, args.out_dir)
+        print(f"converting CLIP image tower {src} ...")
+        vparams = load_clip_vision_params(src, layers=24)
+        vout = os.path.join(args.out_dir, "clip_vision.npz")
+        save_npz(vout, vparams)
+        print(f"wrote {vout}")
+        print("use: ClipVisionConfig(weights_path="
+              f'"{vout}") with utils/clip_eval.py (CLIP-FID / CLIP score)')
+        if args.verify:
+            import numpy as _np
+
+            from transformer_latent_diffusion_tpu.configs import (
+                ClipVisionConfig,
+            )
+            from transformer_latent_diffusion_tpu.models.clip import (
+                FlaxClipVision,
+            )
+
+            vt = FlaxClipVision.from_config(
+                ClipVisionConfig(weights_path=vout))
+            emb = vt.embed(_np.zeros((1, 224, 224, 3), _np.uint8))
+            assert emb.shape == (1, 768), emb.shape
+            print("CLIP vision verify OK:", emb.shape)
 
     vocab_out = None
     if args.vocab:

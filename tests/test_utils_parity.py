@@ -198,6 +198,18 @@ def test_compute_fid_script_both_paths(tmp_path, monkeypatch, capsys):
     assert out["metric"] == "vae_latent_fid"
     assert out["value"] > 0 and np.isfinite(out["value"])
 
+    # CLIP-FID path (tiny random image tower; real weights make it the
+    # literature metric)
+    monkeypatch.setattr(sys, "argv", [
+        "compute_fid.py", "--images-a", str(tmp_path / "imgs_a.npy"),
+        "--images-b", str(tmp_path / "imgs_b.npy"),
+        "--clip-vision", "--clip-vision-arch", "32,8,64,2,1,16",
+        "--batch-size", "4"])
+    runpy.run_path(script, run_name="__main__")
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["metric"] == "clip_fid"
+    assert out["value"] > 0 and np.isfinite(out["value"])
+
 
 def test_vae_latent_features():
     from transformer_latent_diffusion_tpu.models.vae import FlaxVae

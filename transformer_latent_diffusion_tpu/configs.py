@@ -127,6 +127,23 @@ class ClipConfig:
 
 
 @dataclass
+class ClipVisionConfig:
+    """TPU-extra (no reference counterpart): the CLIP *image* tower, for
+    CLIP-FID / CLIP-score evaluation (utils/clip_eval.py). Defaults =
+    ViT-L/14 visual transformer; weights convert via
+    scripts/convert_towers.py --clip-vision."""
+
+    weights_path: Optional[str] = None
+    image_size: int = 224
+    patch_size: int = 14
+    width: int = 1024
+    heads: int = 16
+    layers: int = 24
+    embed_dim: int = 768
+    dtype: str = "float32"
+
+
+@dataclass
 class DataConfig:
     """Where the latent data is stored. Parity: reference configs.py:50-55."""
 

@@ -114,6 +114,105 @@ class ClipTextModel(nn.Module):
         return pooled @ proj.astype(pooled.dtype)
 
 
+class ClipVisionModel(nn.Module):
+    """CLIP ViT image tower (defaults = ViT-L/14 visual transformer).
+
+    The reference uses only CLIP's *text* side (its FID/CLIP-score evals
+    are listed as open TODOs, reference README.md "TODOS"). This tower
+    completes the pair: patchify conv (stride=patch, no bias), class
+    token, learned pos-embed, ln_pre, the same pre-LN QuickGELU blocks
+    as the text transformer (non-causal), ln_post on the class token,
+    and a (width, embed_dim) projection — the openai `visual` graph.
+    Enables CLIP-FID / CLIP-score (utils/clip_eval.py) with weights
+    converted by models/torch_compat.py (openai or HF layout).
+    """
+
+    image_size: int = 224
+    patch_size: int = 14
+    width: int = 1024
+    heads: int = 16
+    layers: int = 24
+    embed_dim: int = 768  # projected output dim
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, pixels):
+        """pixels (B, S, S, 3) CLIP-normalized -> image embedding (B, embed_dim)."""
+        b = pixels.shape[0]
+        p = self.patch_size
+        x = nn.Conv(self.width, (p, p), strides=(p, p), use_bias=False,
+                    dtype=self.dtype, name="conv1")(pixels.astype(self.dtype))
+        x = x.reshape(b, -1, self.width)
+        cls = self.param("class_embedding",
+                         nn.initializers.normal(stddev=self.width ** -0.5),
+                         (self.width,))
+        x = jnp.concatenate(
+            [jnp.broadcast_to(cls.astype(x.dtype), (b, 1, self.width)), x],
+            axis=1)
+        n_pos = (self.image_size // p) ** 2 + 1
+        pos = self.param("positional_embedding",
+                         nn.initializers.normal(stddev=0.01),
+                         (n_pos, self.width))
+        x = x + pos[None, : x.shape[1], :].astype(x.dtype)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln_pre")(x)
+
+        full = jnp.ones((1, 1, x.shape[1], x.shape[1]), dtype=bool)
+        for i in range(self.layers):
+            x = ClipTextBlock(self.width, self.heads, dtype=self.dtype,
+                              name=f"resblock_{i}")(x, full)
+
+        pooled = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,
+                              name="ln_post")(x[:, 0])
+        proj = self.param("proj",
+                          nn.initializers.normal(stddev=self.width ** -0.5),
+                          (self.width, self.embed_dim))
+        return pooled @ proj.astype(pooled.dtype)
+
+
+# CLIP's published preprocessing constants (openai/CLIP clip/clip.py)
+CLIP_IMAGE_MEAN = (0.48145466, 0.4578275, 0.40821073)
+CLIP_IMAGE_STD = (0.26862954, 0.26130258, 0.27577711)
+
+
+def preprocess_images(images, image_size: int = 224) -> np.ndarray:
+    """CLIP image preprocessing: (list of PIL) or uint8/float (N, H, W, 3)
+    -> normalized float32 (N, image_size, image_size, 3).
+
+    Resize shorter side to `image_size` (bicubic, jax.image.resize — a
+    close stand-in for torchvision's bicubic), center crop, scale to
+    [0, 1], normalize with the CLIP mean/std. Square inputs resize
+    directly (the generation pipeline always produces squares)."""
+    if not isinstance(images, np.ndarray):
+        try:  # a single PIL image or a list of them
+            import PIL.Image
+
+            if isinstance(images, PIL.Image.Image):
+                images = [images]
+            images = np.stack([np.asarray(im.convert("RGB")) for im in images])
+        except ImportError:  # pragma: no cover
+            images = np.asarray(images)
+    if images.ndim == 3:
+        images = images[None]
+    if images.shape[-1] != 3:
+        raise ValueError(f"expected NHWC RGB, got {images.shape}")
+    x = images.astype(np.float32)
+    if np.issubdtype(images.dtype, np.integer) or x.max() > 1.5:
+        x = x / 255.0
+
+    n, h, w, _ = x.shape
+    scale = image_size / min(h, w)
+    nh, nw = max(image_size, round(h * scale)), max(image_size, round(w * scale))
+    if (nh, nw) != (h, w):
+        x = np.asarray(jax.image.resize(
+            jnp.asarray(x), (n, nh, nw, 3), method="bicubic"))
+    top = (nh - image_size) // 2
+    left = (nw - image_size) // 2
+    x = x[:, top: top + image_size, left: left + image_size, :]
+    mean = np.asarray(CLIP_IMAGE_MEAN, np.float32)
+    std = np.asarray(CLIP_IMAGE_STD, np.float32)
+    return (np.clip(x, 0.0, 1.0) - mean[None, None, None]) / std[None, None, None]
+
+
 # ----------------------------- tokenizer -----------------------------------
 
 
@@ -290,3 +389,63 @@ class FlaxClip:
                 lambda p, t: self.module.apply({"params": p}, t)
             )
         return self._jitted(self.params, tokens)
+
+
+@dataclass
+class FlaxClipVision:
+    """Stateful wrapper bundling the image tower + preprocessing + jit
+    cache — `clip.load("ViT-L/14")`'s `encode_image` half (the side the
+    reference never ships; used for CLIP-FID / CLIP-score eval)."""
+
+    module: ClipVisionModel
+    params: Any
+    _jitted: Any = field(default=None, repr=False)
+
+    @classmethod
+    def create(cls, image_size: int = 224, patch_size: int = 14,
+               width: int = 1024, heads: int = 16, layers: int = 24,
+               embed_dim: int = 768, seed: int = 0, params=None,
+               dtype=jnp.float32):
+        module = ClipVisionModel(image_size=image_size, patch_size=patch_size,
+                                 width=width, heads=heads, layers=layers,
+                                 embed_dim=embed_dim, dtype=dtype)
+        if params is None:
+            pixels = jnp.zeros((1, image_size, image_size, 3), jnp.float32)
+            params = jax.jit(module.init)(
+                jax.random.PRNGKey(seed), pixels)["params"]
+        return cls(module=module, params=params)
+
+    @classmethod
+    def from_config(cls, cfg) -> "FlaxClipVision":
+        """Build from a configs.ClipVisionConfig (converted weights via
+        cfg.weights_path; random-init otherwise, with the same loud
+        hermetic degradation as the other towers)."""
+        params = None
+        if cfg.weights_path:
+            from transformer_latent_diffusion_tpu.models.torch_compat import (
+                load_clip_vision_params,
+            )
+
+            params = load_clip_vision_params(cfg.weights_path, cfg.layers)
+        else:
+            print("CLIP vision tower: no weights_path — random-init "
+                  "(convert real weights with scripts/convert_towers.py "
+                  "--clip-vision)")
+        return cls.create(
+            image_size=cfg.image_size, patch_size=cfg.patch_size,
+            width=cfg.width, heads=cfg.heads, layers=cfg.layers,
+            embed_dim=cfg.embed_dim, params=params,
+            dtype=jnp.dtype(cfg.dtype))
+
+    def encode_image(self, pixels) -> jax.Array:
+        """Preprocessed pixels (B, S, S, 3) -> embeddings (B, embed_dim)."""
+        if self._jitted is None:
+            self._jitted = jax.jit(
+                lambda p, x: self.module.apply({"params": p}, x)
+            )
+        return self._jitted(self.params, jnp.asarray(pixels))
+
+    def embed(self, images) -> jax.Array:
+        """Raw images (PIL list / uint8 or float NHWC) -> embeddings."""
+        return self.encode_image(
+            preprocess_images(images, self.module.image_size))

@@ -391,18 +391,8 @@ def convert_torch_clip_state_dict(sd: Dict[str, Any], layers: int) -> Dict[str, 
         "text_projection": _np(sd["text_projection"]),
     }
     for i in range(layers):
-        base = f"transformer.resblocks.{i}"
-        params[f"resblock_{i}"] = {
-            "ln_1": _ln(sd, f"{base}.ln_1"),
-            "attn_in_proj": {
-                "kernel": _np(sd[f"{base}.attn.in_proj_weight"]).T,
-                "bias": _np(sd[f"{base}.attn.in_proj_bias"]),
-            },
-            "attn_out_proj": _linear(sd, f"{base}.attn.out_proj"),
-            "ln_2": _ln(sd, f"{base}.ln_2"),
-            "mlp_c_fc": _linear(sd, f"{base}.mlp.c_fc"),
-            "mlp_c_proj": _linear(sd, f"{base}.mlp.c_proj"),
-        }
+        params[f"resblock_{i}"] = _clip_resblock(
+            sd, f"transformer.resblocks.{i}")
     return params
 
 
@@ -446,6 +436,110 @@ def convert_hf_clip_state_dict(sd: Dict[str, Any], layers: int) -> Dict[str, Any
             "mlp_c_proj": _linear(sd, f"{base}.mlp.fc2"),
         }
     return params
+
+
+def _clip_resblock(sd: Dict[str, Any], base: str) -> Dict[str, Any]:
+    """One openai-layout transformer resblock -> flax (shared by the text
+    and vision towers — the openai graph uses identical block weights)."""
+    return {
+        "ln_1": _ln(sd, f"{base}.ln_1"),
+        "attn_in_proj": {
+            "kernel": _np(sd[f"{base}.attn.in_proj_weight"]).T,
+            "bias": _np(sd[f"{base}.attn.in_proj_bias"]),
+        },
+        "attn_out_proj": _linear(sd, f"{base}.attn.out_proj"),
+        "ln_2": _ln(sd, f"{base}.ln_2"),
+        "mlp_c_fc": _linear(sd, f"{base}.mlp.c_fc"),
+        "mlp_c_proj": _linear(sd, f"{base}.mlp.c_proj"),
+    }
+
+
+def convert_torch_clip_vision_state_dict(sd: Dict[str, Any],
+                                         layers: int) -> Dict[str, Any]:
+    """openai CLIP state_dict (image tower, `visual.*` keys — or already
+    stripped to bare names) -> our ClipVisionModel param tree."""
+    sd = _strip_prefix(sd)
+    pre = "visual." if any(k.startswith("visual.") for k in sd) else ""
+    params: Dict[str, Any] = {
+        "class_embedding": _np(sd[pre + "class_embedding"]).reshape(-1),
+        "positional_embedding": _np(sd[pre + "positional_embedding"]),
+        # torch OIHW conv (no bias) -> flax HWIO
+        "conv1": {"kernel":
+                  _np(sd[pre + "conv1.weight"]).transpose(2, 3, 1, 0)},
+        "ln_pre": _ln(sd, pre + "ln_pre"),
+        "ln_post": _ln(sd, pre + "ln_post"),
+        # openai stores the (width, embed_dim) matrix directly
+        "proj": _np(sd[pre + "proj"]),
+    }
+    for i in range(layers):
+        params[f"resblock_{i}"] = _clip_resblock(
+            sd, f"{pre}transformer.resblocks.{i}")
+    return params
+
+
+def convert_hf_clip_vision_state_dict(sd: Dict[str, Any],
+                                      layers: int) -> Dict[str, Any]:
+    """HuggingFace-transformers CLIPModel/CLIPVisionModel state_dict ->
+    our ClipVisionModel param tree.
+
+    Notes: HF's pre-LN key carries the historical typo `pre_layrnorm`;
+    q/k/v projections are stored separately and fuse into one in_proj;
+    the projection comes from the full CLIPModel's `visual_projection`
+    (a bare CLIPVisionModel has none — loading one raises)."""
+    sd = _strip_prefix(sd)
+    pre = "vision_model."
+    emb = pre + "embeddings."
+    pre_ln = (pre + "pre_layrnorm" if f"{pre}pre_layrnorm.weight" in sd
+              else pre + "pre_layernorm")
+    if "visual_projection.weight" not in sd:
+        raise KeyError(
+            "no visual_projection in checkpoint: convert from the full "
+            "CLIPModel (e.g. openai/clip-vit-large-patch14 "
+            "model.safetensors), not a bare CLIPVisionModel")
+    params: Dict[str, Any] = {
+        "class_embedding": _np(sd[emb + "class_embedding"]).reshape(-1),
+        "positional_embedding": _np(sd[emb + "position_embedding.weight"]),
+        "conv1": {"kernel":
+                  _np(sd[emb + "patch_embedding.weight"]).transpose(2, 3, 1, 0)},
+        "ln_pre": _ln(sd, pre_ln),
+        "ln_post": _ln(sd, pre + "post_layernorm"),
+        "proj": _np(sd["visual_projection.weight"]).T,
+    }
+    for i in range(layers):
+        base = f"{pre}encoder.layers.{i}"
+        qw = _np(sd[f"{base}.self_attn.q_proj.weight"])
+        kw = _np(sd[f"{base}.self_attn.k_proj.weight"])
+        vw = _np(sd[f"{base}.self_attn.v_proj.weight"])
+        qb = _np(sd[f"{base}.self_attn.q_proj.bias"])
+        kb = _np(sd[f"{base}.self_attn.k_proj.bias"])
+        vb = _np(sd[f"{base}.self_attn.v_proj.bias"])
+        params[f"resblock_{i}"] = {
+            "ln_1": _ln(sd, f"{base}.layer_norm1"),
+            "attn_in_proj": {
+                "kernel": np.concatenate([qw, kw, vw], axis=0).T,
+                "bias": np.concatenate([qb, kb, vb], axis=0),
+            },
+            "attn_out_proj": _linear(sd, f"{base}.self_attn.out_proj"),
+            "ln_2": _ln(sd, f"{base}.layer_norm2"),
+            "mlp_c_fc": _linear(sd, f"{base}.mlp.fc1"),
+            "mlp_c_proj": _linear(sd, f"{base}.mlp.fc2"),
+        }
+    return params
+
+
+def load_clip_vision_params(path: str, layers: int = 24):
+    """Load image-tower weights: pre-converted .npz, HF layout, or the
+    openai `visual.*` layout (same dispatch shape as load_clip_params)."""
+    if path.endswith(".npz"):
+        from transformer_latent_diffusion_tpu.train.checkpoint import (
+            unflatten_npz,
+        )
+
+        return unflatten_npz(path)
+    sd = load_state_dict_file(path)
+    if any(k.startswith("vision_model.") or ".vision_model." in k for k in sd):
+        return convert_hf_clip_vision_state_dict(sd, layers)
+    return convert_torch_clip_vision_state_dict(sd, layers)
 
 
 def load_clip_params(path: str, clip_cfg):

@@ -4,12 +4,12 @@ The reference lists "add script to compute FID" as an open TODO
 (reference README.md, "TODOS" section); this ships it. The metric is
 extractor-agnostic: FID is the Fréchet distance between two gaussians
 fitted to feature sets — classic FID uses InceptionV3 pool features,
-CLIP-FID uses a CLIP image tower. Neither pretrained extractor is
-bundled here (this repo ships a CLIP *text* tower only), so the API
-takes feature arrays, plus a convenience path that uses the Flax VAE
-encoder's latents as features ("latent FID" — a useful relative metric
-for checkpoint-to-checkpoint comparison with the towers already in the
-pipeline). See scripts/compute_fid.py for the CLI.
+CLIP-FID uses a CLIP image tower. The API takes feature arrays from any
+extractor; in-repo extractors are the Flax CLIP image tower
+(utils/clip_eval.clip_image_features — literature-comparable CLIP-FID
+once real ViT-L/14 weights are converted) and the Flax VAE encoder
+("latent FID" below — a tower-free relative metric for
+checkpoint-to-checkpoint comparison). See scripts/compute_fid.py.
 """
 
 from __future__ import annotations
