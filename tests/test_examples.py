@@ -79,6 +79,32 @@ def test_example_distill_fewstep(tmp_path, monkeypatch):
     assert PIL.Image.open(out).size[0] > 0
 
 
+def test_example_evaluate(tmp_path, monkeypatch, capsys):
+    import json
+
+    import numpy as np
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    real = np.random.default_rng(0).uniform(
+        -1, 1, (6, 3, 32, 32)).astype(np.float32)
+    np.save(tmp_path / "real.npy", real)
+    save = str(tmp_path / "gen.npy")
+    monkeypatch.setattr(sys, "argv", [
+        "examples/evaluate.py", "--tiny", "--n-iter", "3",
+        "--prompt", "a cat", "--prompt", "a dog",
+        "--real-images", str(tmp_path / "real.npy"),
+        "--save-images", save, "--batch-size", "2"])
+    runpy.run_path(os.path.join(root, "examples", "evaluate.py"),
+                   run_name="__main__")
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["n_images"] == 2 and np.isfinite(out["clip_score"])
+    assert out["real_weights"] is False
+    assert np.isfinite(out["clip_fid"]) and out["clip_fid"] > 0
+    gen = np.load(save)
+    assert gen.dtype == np.uint8 and gen.shape[0] == 2
+    assert gen.shape[-1] == 3
+
+
 def test_example_lora_finetune(tmp_path, monkeypatch):
     import PIL.Image
     import numpy as np

@@ -303,12 +303,36 @@ class DiffusionTransformer:
         zero vector. prompt may be a list of distinct prompts (beyond
         reference): one image per prompt in a single scan call,
         overriding num_imgs."""
+        num_imgs = len(prompt) if isinstance(prompt, (list, tuple)) \
+            else num_imgs
+        out = self.generate_array_from_text(
+            prompt, class_guidance=class_guidance, seed=seed,
+            num_imgs=num_imgs, n_iter=n_iter,
+            cache_interval=cache_interval, negative_prompt=negative_prompt,
+            pad_to=pad_to)
+        return uint8_grid_to_pil(out, nrow=int(math.sqrt(num_imgs)),
+                                 padding=4)
+
+    def generate_array_from_text(
+        self,
+        prompt,
+        class_guidance=6,
+        seed=11,
+        num_imgs=1,
+        n_iter=15,
+        cache_interval=1,
+        negative_prompt=None,
+        pad_to=None,
+    ):
+        """Like generate_image_from_text but returns the raw images as a
+        (num_imgs, H, W, 3) uint8 array instead of a PIL grid — the form
+        evaluation pipelines consume (CLIP score / CLIP-FID,
+        utils/clip_eval.py; see examples/evaluate.py)."""
         if isinstance(prompt, (list, tuple)):
             prompts = list(prompt)
             num_imgs = len(prompts)
         else:
             prompts = [prompt] * num_imgs
-        nrow = int(math.sqrt(num_imgs))
 
         gen_n = self._resolve_pad(pad_to, num_imgs)
         if gen_n > num_imgs:
@@ -332,8 +356,7 @@ class DiffusionTransformer:
             output="uint8",
             negative_labels=negative_labels,
         )
-        return uint8_grid_to_pil(np.asarray(out)[:num_imgs], nrow=nrow,
-                                 padding=4)
+        return np.asarray(out)[:num_imgs]
 
     def _encode_init_image(self, image):
         """PIL / (H,W,3) / (B,H,W,3) image -> sampler-unit latents.

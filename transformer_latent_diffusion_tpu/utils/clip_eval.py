@@ -46,14 +46,20 @@ def clip_score(images, texts: Union[str, Sequence[str]], clip_text,
 
     `clip_text`: models.clip.FlaxClip (text tower);
     `vision`: models.clip.FlaxClipVision. A single prompt broadcasts to
-    every image. Meaningful absolute numbers need real converted weights
-    AND the real BPE vocab — with random towers it is a relative metric
-    only (same degradation mode as the rest of the hermetic test stack).
+    every image. `texts` may instead be a precomputed (N, D) array of
+    CLIP text embeddings (e.g. a training pipeline's text_emb.npy), in
+    which case `clip_text` may be None. Meaningful absolute numbers need
+    real converted weights AND the real BPE vocab — with random towers
+    it is a relative metric only (same degradation mode as the rest of
+    the hermetic test stack).
     """
-    if isinstance(texts, str):
-        texts = [texts]
     img = clip_image_features(images, vision, batch_size=batch_size)
-    txt = np.asarray(clip_text.encode_text(list(texts)), np.float32)
+    if isinstance(texts, np.ndarray) and texts.ndim == 2:
+        txt = texts.astype(np.float32)
+    else:
+        if isinstance(texts, str):
+            texts = [texts]
+        txt = np.asarray(clip_text.encode_text(list(texts)), np.float32)
     if txt.shape[0] == 1 and img.shape[0] > 1:
         txt = np.broadcast_to(txt, (img.shape[0], txt.shape[1]))
     if txt.shape[0] != img.shape[0]:
