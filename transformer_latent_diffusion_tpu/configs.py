@@ -175,6 +175,12 @@ class TrainConfig:
     save_model: bool = True
     use_wandb: bool = False  # reference default True; wandb absent here -> gated
     # --- TPU-native additions ---
+    # held-out validation loss (beyond reference — the reference's only
+    # in-training quality signal is the eval image grid): the LAST
+    # val_holdout dataset examples are excluded from training, and every
+    # save_and_eval_every_iters the deterministic diffusion loss on them
+    # (fixed noise/dropout draw, EMA weights) is logged as "val_loss"
+    val_holdout: int = 0
     mesh_shape: Optional[Tuple[int, int]] = None  # (data, model); None = all-data
     param_dtype: str = "float32"
     compute_dtype: str = "bfloat16"

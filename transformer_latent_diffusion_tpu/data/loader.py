@@ -111,16 +111,33 @@ class LatentBatcher:
     semantics, clip_val=20)."""
 
     def __init__(self, latent_path: str, text_emb_path: str, batch_size: int,
-                 seed: int = 0, mmap: bool = True):
+                 seed: int = 0, mmap: bool = True, holdout: int = 0):
         mode = "r" if mmap else None
         self.latents = np.load(latent_path, mmap_mode=mode)
         self.text = np.load(text_emb_path, mmap_mode=mode)
         assert len(self.latents) == len(self.text), (
             len(self.latents), len(self.text))
         self.n = len(self.latents)
+        # holdout: the LAST `holdout` examples never enter training
+        # batches; holdout_batch() hands them out for validation loss
+        if not 0 <= holdout < self.n:
+            raise ValueError(
+                f"holdout={holdout} must be in [0, {self.n}) for a "
+                f"{self.n}-example dataset")
+        self.holdout = holdout
+        self.n -= holdout
         self.batch_size = min(batch_size, self.n)
         self.rng = np.random.default_rng(seed)
         self.lib = _build_native()
+
+    def holdout_batch(self):
+        """The held-out tail as one (latents, text) f32 batch,
+        dequantized exactly like training batches."""
+        if not self.holdout:
+            raise ValueError("constructed with holdout=0")
+        idx = np.arange(self.n, self.n + self.holdout)
+        return (_gather(self.lib, self.latents, idx),
+                _gather(self.lib, self.text, idx))
 
     @property
     def steps_per_epoch(self) -> int:

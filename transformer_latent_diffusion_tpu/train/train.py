@@ -401,6 +401,7 @@ def main(config: ModelConfig, init_params: Optional[Any] = None) -> Dict[str, An
     batcher = LatentBatcher(
         dataconfig.latent_path, dataconfig.text_emb_path,
         batch_size=train_config.batch_size, seed=train_config.seed,
+        holdout=train_config.val_holdout,
     )
     emb_val = np.load(dataconfig.val_path).astype(np.float32)
 
@@ -618,6 +619,22 @@ def main(config: ModelConfig, init_params: Optional[Any] = None) -> Dict[str, An
 
     diffuser = None
 
+    # held-out validation loss (TrainConfig.val_holdout): same loss
+    # semantics as training (build_loss_fn) but on the excluded tail
+    # with a FIXED rng, so successive evals are comparable; evaluated on
+    # the EMA weights — the thing the eval grid and checkpoints use.
+    # eval_model keeps it FSDP/TP-safe (no fused-VJP kernels needed for
+    # a forward-only loss).
+    val_fn = None
+    val_losses = []
+    if train_config.val_holdout > 0:
+        x_val_h, y_val_h = batcher.holdout_batch()
+        _val_x = jnp.asarray(x_val_h)
+        _val_y = jnp.asarray(y_val_h)
+        _val_rng = jax.random.PRNGKey(train_config.seed + 1_000_003)
+        val_fn = jax.jit(build_loss_fn(
+            eval_model, train_config, config.vae_cfg.vae_scale_factor))
+
     log(f"{count_parameters(state['params'])} parameters")
 
     rng = jax.random.PRNGKey(train_config.seed)
@@ -661,6 +678,16 @@ def main(config: ModelConfig, init_params: Optional[Any] = None) -> Dict[str, An
 
                         wandb_run.log(
                             {f"step: {global_step}": wandb.Image(img_path)})
+                    if val_fn is not None:
+                        val_loss = float(val_fn(
+                            state["ema_params"], _val_x, _val_y, _val_rng))
+                        val_losses.append((global_step, val_loss))
+                        if wandb_run is not None:
+                            wandb_run.log({"val_loss": val_loss},
+                                          step=global_step)
+                        else:
+                            log(f"step {global_step} val_loss "
+                                f"{val_loss:.5f}")
                 if train_config.save_model and ckpt_mgr is not None:
                     # snapshot on device (cheap) and save asynchronously:
                     # the train step donates `state`'s buffers, so orbax
@@ -718,4 +745,4 @@ def main(config: ModelConfig, init_params: Optional[Any] = None) -> Dict[str, An
     if losses:
         log(f"final loss {np.mean(losses[-10:]):.5f}")
     return {"state": state, "losses": losses, "global_step": global_step,
-            "preempted": shutdown.requested}
+            "val_losses": val_losses, "preempted": shutdown.requested}
