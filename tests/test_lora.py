@@ -96,6 +96,24 @@ def test_lora_finetune(tmp_path):
                                    atol=1e-7)
 
 
+def test_lora_finetune_val_loss(tmp_path):
+    """val_holdout works in LoRA mode too: the held-out loss is
+    evaluated on the debiased-EMA adapters and returned."""
+    from transformer_latent_diffusion_tpu.train import main
+
+    cfg = _model_cfg(tmp_path, denoiser=SMALL_DENOISER, img_size=8,
+                     n_epoch=2, batch_size=16, lr=1e-3,
+                     lora_rank=2, val_holdout=16,
+                     save_and_eval_every_iters=3)
+    base = _base_params(seed=cfg.train_config.seed)
+    result = main(cfg, init_params=base)
+    # 48 train examples (64 - 16) / 16 = 3 steps x 2 epochs
+    assert result["global_step"] == 6
+    vl = result["val_losses"]
+    assert [s for s, _ in vl] == [3, 6]  # in-loop eval + final
+    assert all(np.isfinite(v) for _, v in vl)
+
+
 def test_lora_merge_rejects_unmatched_adapters():
     """Adapters trained for a different model config raise instead of
     silently no-oping (ADVICE r2)."""

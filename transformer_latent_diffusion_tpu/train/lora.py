@@ -247,6 +247,7 @@ def lora_finetune(config, init_params: Optional[Any] = None
     batcher = LatentBatcher(
         config.data_config.latent_path, config.data_config.text_emb_path,
         batch_size=train_config.batch_size, seed=train_config.seed,
+        holdout=train_config.val_holdout,
     )
 
     compute_dtype = resolve_dtype(train_config.compute_dtype)
@@ -342,6 +343,29 @@ def lora_finetune(config, init_params: Optional[Any] = None
                 scale=scale,
                 raw=jax.device_get(state["lora"]))
 
+    # held-out validation loss (TrainConfig.val_holdout), same semantics
+    # as train.main: fixed rng, evaluated on what the checkpoints hold —
+    # here the debiased-EMA adapters merged into the frozen base.
+    val_losses = []
+    _val_x = _val_y = _val_rng = None
+    if train_config.val_holdout > 0:
+        x_val_h, y_val_h = batcher.holdout_batch()
+        _val_x = jnp.asarray(x_val_h)
+        _val_y = jnp.asarray(y_val_h)
+        _val_rng = jax.random.PRNGKey(train_config.seed + 1_000_003)
+        val_fn = jax.jit(lora_loss)
+
+    def eval_val_loss():
+        if _val_x is None or not is_main:
+            return
+        step_now = int(jax.device_get(state["step"]))
+        ema_now = debias_ema_lora(
+            jax.device_get(state["ema_lora"]), init_lora_host,
+            train_config.alpha, step_now)
+        v = float(val_fn(ema_now, _val_x, _val_y, _val_rng))
+        val_losses.append((step_now, v))
+        log(f"step {step_now} val_loss {v:.5f}")
+
     from transformer_latent_diffusion_tpu.train.train import (
         GracefulShutdown,
     )
@@ -362,6 +386,7 @@ def lora_finetune(config, init_params: Optional[Any] = None
                 if (global_step % train_config.save_and_eval_every_iters
                         == 0 and global_step > 0):
                     save_now()
+                    eval_val_loss()
                 x = jax.device_put(x_host, b_shard)
                 y = jax.device_put(y_host, b_shard)
                 state, loss = lora_step(
@@ -374,6 +399,7 @@ def lora_finetune(config, init_params: Optional[Any] = None
     if shutdown.requested:
         log(f"preemption signal received: stopping at step {global_step}")
     save_now()
+    eval_val_loss()
     if shutdown.requested and train_config.save_model:
         log(f"preemption checkpoint saved at step {global_step}")
     losses = [float(l) for l in losses]
@@ -384,5 +410,6 @@ def lora_finetune(config, init_params: Optional[Any] = None
                                     init_lora_host, train_config.alpha,
                                     int(jax.device_get(state["step"]))),
             "raw_lora": state["lora"], "scale": scale,
+            "val_losses": val_losses,
             "preempted": shutdown.requested,
             "lora_path": lora_path if train_config.save_model else None}
