@@ -14,8 +14,13 @@ reference README.md TODOS section). Extractor-agnostic:
   python scripts/compute_fid.py --images-a real_imgs.npy \
       --images-b gen_imgs.npy --vae-npz towers/vae.npz
 
-Feature files are (N, D) .npy arrays. Image files are (N, 3, H, W)
-float [-1,1] or uint8 .npy arrays. Prints one JSON line.
+  # precomputed reference stats (fit the real set once, reuse forever)
+  python scripts/compute_fid.py --features-a real.npy --save-stats ref.npz
+  python scripts/compute_fid.py --features-a ref.npz --features-b fake.npy
+
+Feature files are (N, D) .npy arrays (or a stats .npz from
+--save-stats). Image files are (N, 3, H, W) float [-1,1] or uint8 .npy
+arrays. Prints one JSON line.
 """
 
 import argparse
@@ -60,17 +65,59 @@ def main():
                     help="size,patch,width,heads,layers,embed_dim if not "
                          "the ViT-L/14 default (tests use tiny towers)")
     ap.add_argument("--batch-size", type=int, default=32)
+    ap.add_argument("--save-stats", default=None,
+                    help="fit gaussian stats on side A only and write "
+                         "them to this .npz (pytorch-fid-style "
+                         "precomputed reference); pass the file later "
+                         "as --features-a/--features-b")
     args = ap.parse_args()
 
     from transformer_latent_diffusion_tpu.utils.fid import (
-        compute_fid,
+        frechet_distance,
+        gaussian_stats,
+        load_stats,
+        save_stats,
         vae_latent_features,
     )
 
-    if args.features_a and args.features_b:
-        fa, fb = np.load(args.features_a), np.load(args.features_b)
-        kind = "feature_fid"
-    elif args.images_a and args.images_b and args.clip_vision is not None:
+    def _finish(fa, fb, kind):
+        """fa/fb: (N, D) features, or a stats-.npz path string."""
+        def stats_of(f):
+            if isinstance(f, str):
+                return load_stats(f)
+            return gaussian_stats(f)
+
+        def n_of(f):
+            if isinstance(f, str):
+                with np.load(f) as z:
+                    return int(z["n"]) if "n" in z else -1
+            return int(f.shape[0])
+
+        if args.save_stats:
+            if isinstance(fa, str):
+                raise SystemExit("--save-stats input is already a stats file")
+            save_stats(args.save_stats, fa)
+            print(json.dumps({"metric": f"{kind}_stats", "n": n_of(fa),
+                              "path": args.save_stats}))
+            return
+        print(json.dumps({"metric": kind,
+                          "value": frechet_distance(*stats_of(fa),
+                                                    *stats_of(fb)),
+                          "n_a": n_of(fa), "n_b": n_of(fb)}))
+
+    def _feats_or_stats(path):
+        if path.endswith(".npz"):
+            return path  # precomputed stats (save_stats / --save-stats)
+        return np.load(path)
+
+    one_sided = args.save_stats is not None
+    if args.features_a and (args.features_b or one_sided):
+        _finish(_feats_or_stats(args.features_a),
+                _feats_or_stats(args.features_b) if args.features_b
+                else None, "feature_fid")
+        return
+    elif args.images_a and (args.images_b or one_sided) \
+            and args.clip_vision is not None:
         # CLIP-FID: literature-comparable once real converted ViT-L/14
         # weights are supplied (scripts/convert_towers.py --clip-vision)
         from transformer_latent_diffusion_tpu.configs import ClipVisionConfig
@@ -98,10 +145,12 @@ def main():
 
         fa = clip_image_features(_nhwc_uint8(args.images_a), vt,
                                  args.batch_size)
-        fb = clip_image_features(_nhwc_uint8(args.images_b), vt,
-                                 args.batch_size)
-        kind = "clip_fid"
-    elif args.images_a and args.images_b:
+        fb = (clip_image_features(_nhwc_uint8(args.images_b), vt,
+                                  args.batch_size)
+              if args.images_b else None)
+        _finish(fa, fb, "clip_fid")
+        return
+    elif args.images_a and (args.images_b or one_sided):
         from transformer_latent_diffusion_tpu.models.torch_compat import (
             load_vae_params,
         )
@@ -127,14 +176,14 @@ def main():
             latent_channels=vae_cfg.latent_channels, params=params)
         fa = vae_latent_features(_load_images(args.images_a), vae,
                                  args.batch_size)
-        fb = vae_latent_features(_load_images(args.images_b), vae,
-                                 args.batch_size)
-        kind = "vae_latent_fid"
+        fb = (vae_latent_features(_load_images(args.images_b), vae,
+                                  args.batch_size)
+              if args.images_b else None)
+        _finish(fa, fb, "vae_latent_fid")
+        return
     else:
-        ap.error("give --features-a/--features-b or --images-a/--images-b")
-
-    print(json.dumps({"metric": kind, "value": compute_fid(fa, fb),
-                      "n_a": int(fa.shape[0]), "n_b": int(fb.shape[0])}))
+        ap.error("give --features-a/--features-b or --images-a/--images-b "
+                 "(B side optional with --save-stats)")
 
 
 if __name__ == "__main__":

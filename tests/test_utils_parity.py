@@ -198,6 +198,22 @@ def test_compute_fid_script_both_paths(tmp_path, monkeypatch, capsys):
     assert out["metric"] == "vae_latent_fid"
     assert out["value"] > 0 and np.isfinite(out["value"])
 
+    # precomputed-stats workflow: fit the real side once (--save-stats),
+    # reuse the stats file as a side; must match the direct FID
+    monkeypatch.setattr(sys, "argv", [
+        "compute_fid.py", "--features-a", str(tmp_path / "real.npy"),
+        "--save-stats", str(tmp_path / "ref_stats.npz")])
+    runpy.run_path(script, run_name="__main__")
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["metric"] == "feature_fid_stats" and out["n"] == 256
+    monkeypatch.setattr(sys, "argv", [
+        "compute_fid.py", "--features-a", str(tmp_path / "ref_stats.npz"),
+        "--features-b", str(tmp_path / "fake.npy")])
+    runpy.run_path(script, run_name="__main__")
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    np.testing.assert_allclose(out["value"], 2048 * 1.5**2, rtol=0.05)
+    assert out["n_a"] == 256  # carried in the stats file
+
     # CLIP-FID path (tiny random image tower; real weights make it the
     # literature metric)
     monkeypatch.setattr(sys, "argv", [

@@ -59,6 +59,23 @@ def compute_fid(feats_a: np.ndarray, feats_b: np.ndarray) -> float:
                             *gaussian_stats(feats_b))
 
 
+def save_stats(path: str, feats: np.ndarray) -> None:
+    """Fit and persist gaussian stats (mu, cov, n) for a feature set —
+    the pytorch-fid-style precomputed-reference workflow: fit the real
+    set once, reuse the small stats file for every later comparison."""
+    mu, cov = gaussian_stats(feats)
+    np.savez(path, mu=mu, cov=cov, n=np.int64(len(feats)))
+
+
+def load_stats(path: str):
+    """-> (mu, cov) from a save_stats file."""
+    with np.load(path) as z:
+        if "mu" not in z or "cov" not in z:
+            raise ValueError(
+                f"{path}: not a FID stats file (needs 'mu' and 'cov')")
+        return z["mu"], z["cov"]
+
+
 def vae_latent_features(images_nchw: np.ndarray, vae,
                         batch_size: int = 32) -> np.ndarray:
     """Encode images (N,3,H,W) in [-1,1] to flattened VAE latent means.
