@@ -82,6 +82,14 @@ class DenoiserConfig:
     # 2*n_channels (noisy latent + masked context latent) with the new
     # rows zero-initialised — models/denoiser.expand_input_channels.
     input_channels: Optional[int] = None
+    # TPU addition — what the network is trained to predict (and what
+    # the sampler converts back to an x0 estimate, see
+    # sampling.diffusion.prediction_to_x0): "x0" (reference semantics,
+    # train.py:166-167), "eps" (noise prediction), or "v" (rectified-
+    # flow velocity eps - x0 — flow matching under the repo's
+    # linear-interpolation schedule). Travels with the model config so
+    # checkpoints round-trip with the right sampling conversion.
+    objective: str = "x0"
 
 
 @dataclass

@@ -190,6 +190,11 @@ class Denoiser(nn.Module):
     # (patchify + Dense infer the width), this field records the
     # contract for init/sampling/training glue.
     input_channels: Optional[int] = None
+    # what the network predicts ("x0" | "eps" | "v"); the forward pass
+    # is objective-agnostic — this records the training contract so the
+    # sampler (DiffusionGenerator) and loss (train.build_loss_fn) agree
+    # (see sampling.diffusion.prediction_to_x0)
+    objective: str = "x0"
 
     @nn.compact
     def __call__(self, x, noise_level, label, deterministic: bool = True,

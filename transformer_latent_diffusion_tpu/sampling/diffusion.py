@@ -59,6 +59,42 @@ def make_step_coeffs(noise_levels: np.ndarray, use_ddpm_plus: bool) -> Tuple[np.
     return c1, c2
 
 
+PREDICTION_OBJECTIVES = ("x0", "eps", "v")
+
+
+def prediction_to_x0(pred, x_t, sigma, objective: str):
+    """Convert a network prediction to an x0 estimate under the repo's
+    linear-interpolation corruption `x_t = sigma*eps + (1-sigma)*x0`
+    (reference train.py:130).
+
+    objective:
+      "x0"  — the network predicts the clean latent (reference
+              semantics, train.py:166-167): identity.
+      "eps" — the network predicts the noise:   x0 = (x_t - s*f)/(1-s).
+      "v"   — the network predicts the rectified-flow velocity of the
+              interpolation path, v = dx_t/ds = eps - x0 (flow matching
+              under this schedule):              x0 = x_t - s*f.
+
+    All three are affine in the prediction with coefficients depending
+    only on (x_t, sigma), which both CFG halves share — so converting
+    AFTER the CFG combine is exactly equivalent to converting each half.
+    `sigma` may be a scalar (inside the sampling scan) or per-sample
+    (n,) / (n,1) (training/distillation).
+    """
+    if objective == "x0":
+        return pred
+    s = jnp.asarray(sigma, dtype=pred.dtype)
+    if s.ndim:
+        s = s.reshape(-1, *([1] * (pred.ndim - 1)))
+    if objective == "v":
+        return x_t - s * pred
+    if objective == "eps":
+        return (x_t - s * pred) / (1.0 - s)
+    raise ValueError(
+        f"unknown objective {objective!r}; expected one of "
+        f"{PREDICTION_OBJECTIVES}")
+
+
 @dataclass
 class DiffusionGenerator:
     """Reverse-diffusion generator over a Flax denoiser + Flax VAE.
@@ -91,6 +127,13 @@ class DiffusionGenerator:
     # solo ones. Off by default — the host->device upload costs ~20-40ms
     # per batch on tunneled runtimes, which benchmarks shouldn't pay.
     noise_on_host: bool = False
+    # what the network predicts: "x0" (reference), "eps", or "v" (the
+    # rectified-flow velocity eps - x0). None = read the model's
+    # `objective` attribute (DenoiserConfig.objective). Predictions are
+    # converted to x0 estimates right after the CFG combine
+    # (prediction_to_x0), so every sampler variant — DDIM, DPM++,
+    # masked, cached, fresh-noise — runs unchanged on any objective.
+    prediction_type: Any = None
     _compiled: Dict[Any, Any] = field(default_factory=dict, repr=False)
 
     def _sample_fn(self, n_steps: int, shape: Tuple[int, ...],
@@ -131,6 +174,19 @@ class DiffusionGenerator:
         use_fast = (fast_apply is not None and hw <= 16
                     and self.mesh is None and ctx_channels == 0)
 
+        pred_kind = self.prediction_type
+        if pred_kind is None and use_fast:
+            # a wrapper engine may already emit x0-style estimates
+            # (e.g. train/distill.consistency_apply, whose combine bakes
+            # the objective conversion in)
+            pred_kind = getattr(fast_apply, "output_objective", None)
+        if pred_kind is None:
+            pred_kind = str(getattr(model, "objective", "x0"))
+        if pred_kind not in PREDICTION_OBJECTIVES:
+            raise ValueError(
+                f"unknown prediction_type {pred_kind!r}; expected one of "
+                f"{PREDICTION_OBJECTIVES}")
+
         def _cfg_combine(cond, uncond, class_guidance):
             # class_guidance may be a scalar (reference semantics) or a
             # per-image vector (num,) — used by the serving micro-batcher
@@ -162,7 +218,10 @@ class DiffusionGenerator:
                 x0 = pipeline_fn(prepared, x2, noises, labels_cat)
             else:
                 x0 = model.apply({"params": prepared}, x2, noises, labels_cat)
-            return _cfg_combine(x0[:num], x0[num:], class_guidance)
+            out = _cfg_combine(x0[:num], x0[num:], class_guidance)
+            # affine-in-prediction conversion commutes with CFG, so one
+            # conversion on the combined output is exact
+            return prediction_to_x0(out, x_t, noise_level, pred_kind)
 
         use_cache = (cache_interval > 1 and use_fast
                      and hasattr(fast_apply, "apply_prepared_cached"))
@@ -181,7 +240,9 @@ class DiffusionGenerator:
             noises = jnp.full((2 * num, 1), noise_level, dtype=x_t.dtype)
             x0, delta = fast_apply.apply_prepared_cached(
                 prepared, x2, noises, labels_cat, delta, refresh)
-            return _cfg_combine(x0[:num], x0[num:], class_guidance), delta
+            out = _cfg_combine(x0[:num], x0[num:], class_guidance)
+            return (prediction_to_x0(out, x_t, noise_level, pred_kind),
+                    delta)
 
         @jax.jit
         def run(params, x_init, labels_cat, noise_levels, c1, c2,

@@ -50,13 +50,17 @@ from transformer_latent_diffusion_tpu.configs import ModelConfig, resolve_dtype
 from transformer_latent_diffusion_tpu.models.denoiser import Denoiser
 from transformer_latent_diffusion_tpu.sampling.diffusion import (
     make_noise_levels,
+    prediction_to_x0,
 )
 from transformer_latent_diffusion_tpu.train.train import update_ema
 
 
-def _consistency_combine(x, noise_level, raw):
+def _consistency_combine(x, noise_level, raw, objective: str = "x0"):
+    # raw network prediction -> x0 estimate (per the model's training
+    # objective), then the boundary-exact skip combine
     sig = noise_level.reshape(-1, 1, 1, 1).astype(x.dtype)
-    return (1.0 - sig) * x + sig * raw
+    x0 = prediction_to_x0(raw, x, noise_level, objective)
+    return (1.0 - sig) * x + sig * x0
 
 
 class _PreparedConsistency:
@@ -64,39 +68,51 @@ class _PreparedConsistency:
     so DiffusionGenerator still hoists the weight stacking out of the
     sampling scan (generate's prepare() runs once per dispatch)."""
 
-    def __init__(self, inner):
+    # the combined output is an x0-style estimate regardless of the
+    # underlying network's objective — tells DiffusionGenerator not to
+    # convert again
+    output_objective = "x0"
+
+    def __init__(self, inner, objective: str = "x0"):
         self._inner = inner
+        self._objective = objective
 
     def prepare(self, params):
         return self._inner.prepare(params)
 
     def apply_prepared(self, prepared, x, noise_level, labels):
         raw = self._inner.apply_prepared(prepared, x, noise_level, labels)
-        return _consistency_combine(x, noise_level, raw)
+        return _consistency_combine(x, noise_level, raw, self._objective)
 
     def __call__(self, params, x, noise_level, labels):
         return self.apply_prepared(self.prepare(params), x, noise_level,
                                    labels)
 
 
-def consistency_apply(model: Denoiser, inner=None):
+def consistency_apply(model: Denoiser, inner=None, objective=None):
     """Wrap a denoiser network as a consistency function
-    f(x, sigma) = (1-sigma)*x + sigma*F(x, sigma, labels).
+    f(x, sigma) = (1-sigma)*x + sigma*x0(F(x, sigma, labels)).
 
     `inner` optionally replaces the linen apply: a plain callable of the
     same signature, or a fused TPU engine — its prepare/apply_prepared
     protocol is preserved (weight packing stays hoisted out of the
-    sampling scan).
+    sampling scan). `objective` ("x0" | "eps" | "v") is how the raw
+    network output maps to an x0 estimate; None reads the model's
+    `objective` attribute.
     """
+    if objective is None:
+        objective = str(getattr(model, "objective", "x0"))
     if inner is not None and hasattr(inner, "prepare"):
-        return _PreparedConsistency(inner)
+        return _PreparedConsistency(inner, objective)
     base = (inner if inner is not None
             else lambda p, x, nl, y: model.apply({"params": p}, x, nl, y))
 
     def apply(params, x, noise_level, labels):
         return _consistency_combine(x, noise_level,
-                                    base(params, x, noise_level, labels))
+                                    base(params, x, noise_level, labels),
+                                    objective)
 
+    apply.output_objective = "x0"  # see _PreparedConsistency
     return apply
 
 
@@ -120,6 +136,7 @@ def distill_consistency(
     """
     dcfg = config.denoiser_config
     tcfg = config.train_config
+    objective = str(getattr(dcfg, "objective", "x0"))
     compute_dtype = resolve_dtype(tcfg.compute_dtype)
     on_tpu = jax.default_backend() not in ("cpu",)
     model = Denoiser(**asdict(dcfg),
@@ -155,19 +172,26 @@ def distill_consistency(
         eps = jax.random.normal(r_eps, x.shape, dtype=x.dtype)
         x_hi = hi4 * eps + (1.0 - hi4) * x
 
-        # one teacher DDIM step, CFG baked in (one double-batch call)
+        # one teacher DDIM step, CFG baked in (one double-batch call);
+        # raw predictions map to x0 estimates per the model's objective
         x2 = jnp.concatenate([x_hi, x_hi], axis=0)
         y2 = jnp.concatenate([y, jnp.zeros_like(y)], axis=0)
         s2 = jnp.concatenate([s_hi, s_hi], axis=0)
-        x0_both = model.apply({"params": teacher_params}, x2, s2, y2)
+        x0_both = prediction_to_x0(
+            model.apply({"params": teacher_params}, x2, s2, y2),
+            x2, s2, objective)
         x0_t = (guidance * x0_both[:n]
                 + (1.0 - guidance) * x0_both[n:])
         x_lo = ((hi4 - lo4) * x0_t + lo4 * x_hi) / hi4
 
         f_hi = ((1.0 - hi4) * x_hi
-                + hi4 * model.apply({"params": params}, x_hi, s_hi, y))
+                + hi4 * prediction_to_x0(
+                    model.apply({"params": params}, x_hi, s_hi, y),
+                    x_hi, s_hi, objective))
         f_lo = ((1.0 - lo4) * x_lo
-                + lo4 * model.apply({"params": ema_p}, x_lo, s_lo, y))
+                + lo4 * prediction_to_x0(
+                    model.apply({"params": ema_p}, x_lo, s_lo, y),
+                    x_lo, s_lo, objective))
         d = f_hi - jax.lax.stop_gradient(f_lo)
         return jnp.mean(jnp.sqrt(d * d + huber_c**2) - huber_c)
 

@@ -194,6 +194,13 @@ def build_loss_fn(model: Denoiser, train_cfg, vae_scale_factor,
     LoRA fine-tune step (train/lora.py), which differentiates it with
     respect to low-rank adapters merged into `params`."""
     outpaint = bool(getattr(train_cfg, "outpaint", False))
+    # regression target per the model's prediction objective
+    # (DenoiserConfig.objective; see sampling.diffusion.prediction_to_x0):
+    # "x0" -> clean latent (reference train.py:166-167), "eps" -> the
+    # noise draw, "v" -> rectified-flow velocity eps - x.
+    objective = str(getattr(model, "objective", "x0"))
+    if objective not in ("x0", "eps", "v"):
+        raise ValueError(f"unknown objective {objective!r}")
 
     def _outpaint_context(rng, x):
         """Random edge-strip context for the outpainting fine-tune
@@ -230,6 +237,9 @@ def build_loss_fn(model: Denoiser, train_cfg, vae_scale_factor,
         nl = noise_level[:, :, None, None]
         noise = jax.random.normal(r_noise, x.shape, dtype=x.dtype)
         x_noisy = nl * noise + (1.0 - nl) * x
+        target = (x if objective == "x0"
+                  else noise if objective == "eps"
+                  else noise - x)
         if outpaint:
             # widened input: noisy latent + masked clean context; the
             # loss stays full-image MSE ("the rest of the architecture
@@ -256,7 +266,7 @@ def build_loss_fn(model: Denoiser, train_cfg, vae_scale_factor,
             )
             aux = sum(jnp.sum(jnp.asarray(v))
                       for v in jax.tree.leaves(mut.get("losses", {})))
-            return (jnp.mean((pred - x) ** 2)
+            return (jnp.mean((pred - target) ** 2)
                     + train_cfg.moe_aux_weight * aux)
         else:
             pred = model.apply(
@@ -264,7 +274,7 @@ def build_loss_fn(model: Denoiser, train_cfg, vae_scale_factor,
                 deterministic=model.dropout == 0,
                 rngs=None if model.dropout == 0 else {"dropout": r_dropout},
             )
-        return jnp.mean((pred - x) ** 2)
+        return jnp.mean((pred - target) ** 2)
 
     return loss_fn
 
