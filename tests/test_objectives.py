@@ -133,6 +133,76 @@ def test_loss_targets_differ_and_match_objective():
         build_loss_fn(StubZero("score"), tcfg, vae_scale_factor=1.0)
 
 
+class _StubInfoZero:
+    """Stub denoiser that predicts the SAME information (x0_pred = 0)
+    expressed in each objective's units — used to pin that min-SNR
+    weighting is exactly objective-invariant."""
+
+    dropout = 0
+    mlp_class = "sep_conv"
+
+    def __init__(self, objective):
+        self.objective = objective
+
+    def apply(self, variables, x_noisy, noise_level, label,
+              deterministic=True, rngs=None):
+        if self.objective == "x0":
+            return jnp.zeros_like(x_noisy)
+        s = noise_level[:, :, None, None].astype(x_noisy.dtype)
+        # x0_pred = 0  <=>  eps_pred = x_t/s  <=>  v_pred = x_t/s
+        return x_noisy / s
+
+
+def test_min_snr_weighting_objective_invariant():
+    """With loss_weighting='min_snr', the loss of a model predicting
+    identical information is IDENTICAL across x0/eps/v objectives (the
+    x0-space weight is converted by the exact error Jacobian), and the
+    x0 value matches the analytic mean(w * per-sample mean((x/scale)^2))."""
+    from transformer_latent_diffusion_tpu.configs import TrainConfig
+    from transformer_latent_diffusion_tpu.train.train import (
+        build_loss_fn,
+        sample_beta,
+    )
+
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.standard_normal((16, 4, 16, 16)), dtype=jnp.float32)
+    y = jnp.asarray(rng.standard_normal((16, 768)), dtype=jnp.float32)
+    key = jax.random.PRNGKey(7)
+    tcfg = TrainConfig(loss_weighting="min_snr", min_snr_gamma=5.0)
+
+    losses = {
+        kind: float(build_loss_fn(_StubInfoZero(kind), tcfg,
+                                  vae_scale_factor=2.0)({}, x, y, key))
+        for kind in ("x0", "eps", "v")
+    }
+    np.testing.assert_allclose(losses["eps"], losses["x0"], rtol=1e-5)
+    np.testing.assert_allclose(losses["v"], losses["x0"], rtol=1e-5)
+
+    # analytic expectation (replays build_loss_fn's rng split + Beta draw)
+    r_beta = jax.random.split(key, 5)[0]
+    s = sample_beta(r_beta, tcfg.beta_a, tcfg.beta_b, (16, 1))
+    w = jnp.minimum(jnp.square((1.0 - s) / s), 5.0)[:, 0]
+    per = jnp.mean(jnp.square(x / 2.0), axis=(1, 2, 3))
+    np.testing.assert_allclose(losses["x0"], float(jnp.mean(w * per)),
+                               rtol=1e-5)
+
+    with pytest.raises(ValueError):
+        build_loss_fn(_StubInfoZero("x0"),
+                      TrainConfig(loss_weighting="p2"), vae_scale_factor=1.0)
+
+
+def test_training_smoke_min_snr(tmp_path):
+    """2-epoch train.main smoke with min-SNR weighting on."""
+    from tests.test_training import _model_cfg
+    from transformer_latent_diffusion_tpu.train import main
+
+    cfg = _model_cfg(tmp_path, denoiser=TINY, img_size=TINY.image_size)
+    cfg.train_config.loss_weighting = "min_snr"
+    result = main(cfg)
+    assert result["global_step"] == 4
+    assert all(np.isfinite(result["losses"]))
+
+
 @pytest.mark.parametrize("kind", ["v", "eps"])
 def test_training_smoke_objective(tmp_path, kind):
     """2-epoch train.main smoke per objective (mirrors test_training)."""

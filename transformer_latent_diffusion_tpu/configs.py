@@ -189,6 +189,18 @@ class TrainConfig:
     # save_and_eval_every_iters the deterministic diffusion loss on them
     # (fixed noise/dropout draw, EMA weights) is logged as "val_loss"
     val_holdout: int = 0
+    # diffusion loss weighting (beyond reference — the reference trains
+    # unweighted MSE on the clean latent, train.py:166-167): None =
+    # unweighted MSE on the objective's target; "min_snr" = min-SNR-
+    # gamma weighting (Hang et al. 2023). The weight is defined in
+    # x0-space as min(SNR(s), gamma) with SNR(s) = ((1-s)/s)^2 under
+    # the linear-interpolation corruption, then converted to the
+    # model's prediction objective by the exact error Jacobian — so the
+    # weighted loss is the SAME function of the predicted information
+    # for x0/eps/v (tested in tests/test_objectives.py). gamma=inf
+    # recovers plain SNR weighting (i.e. unweighted eps-MSE).
+    loss_weighting: Optional[str] = None
+    min_snr_gamma: float = 5.0
     mesh_shape: Optional[Tuple[int, int]] = None  # (data, model); None = all-data
     param_dtype: str = "float32"
     compute_dtype: str = "bfloat16"

@@ -201,6 +201,43 @@ def build_loss_fn(model: Denoiser, train_cfg, vae_scale_factor,
     objective = str(getattr(model, "objective", "x0"))
     if objective not in ("x0", "eps", "v"):
         raise ValueError(f"unknown objective {objective!r}")
+    weighting = getattr(train_cfg, "loss_weighting", None)
+    if weighting not in (None, "min_snr"):
+        raise ValueError(
+            f"unknown loss_weighting {weighting!r}; expected None or 'min_snr'")
+    min_snr_gamma = float(getattr(train_cfg, "min_snr_gamma", 5.0))
+
+    def _loss_weight(noise_level):
+        """Per-sample (n,1) loss weight for the target-space MSE.
+
+        min-SNR-gamma (Hang et al. 2023) under the repo's linear-
+        interpolation corruption x_t = s*eps + (1-s)*x0, where
+        SNR(s) = ((1-s)/s)^2. The weight is min(SNR, gamma) in x0
+        error units; converting to the model's target space uses the
+        exact error Jacobian (x0_err = (s/(1-s))*eps_err = s*v_err),
+        so the weighted loss is identical across objectives:
+          x0:  min(SNR, gamma)
+          eps: min(SNR, gamma)/SNR        (<= gamma/SNR, caps at 1)
+          v:   min(SNR, gamma) * s^2
+        """
+        if weighting is None:
+            return None
+        s = noise_level.astype(jnp.float32)
+        snr = jnp.square((1.0 - s) / s)
+        w = jnp.minimum(snr, min_snr_gamma)
+        if objective == "eps":
+            w = w / snr
+        elif objective == "v":
+            w = w * jnp.square(s)
+        return w
+
+    def _weighted_mse(pred, target, noise_level):
+        w = _loss_weight(noise_level)
+        if w is None:
+            return jnp.mean((pred - target) ** 2)
+        per = jnp.mean(jnp.square(pred - target).astype(jnp.float32),
+                       axis=tuple(range(1, pred.ndim)))
+        return jnp.mean(w[:, 0] * per)
 
     def _outpaint_context(rng, x):
         """Random edge-strip context for the outpainting fine-tune
@@ -266,7 +303,7 @@ def build_loss_fn(model: Denoiser, train_cfg, vae_scale_factor,
             )
             aux = sum(jnp.sum(jnp.asarray(v))
                       for v in jax.tree.leaves(mut.get("losses", {})))
-            return (jnp.mean((pred - target) ** 2)
+            return (_weighted_mse(pred, target, noise_level)
                     + train_cfg.moe_aux_weight * aux)
         else:
             pred = model.apply(
@@ -274,7 +311,7 @@ def build_loss_fn(model: Denoiser, train_cfg, vae_scale_factor,
                 deterministic=model.dropout == 0,
                 rngs=None if model.dropout == 0 else {"dropout": r_dropout},
             )
-        return jnp.mean((pred - target) ** 2)
+        return _weighted_mse(pred, target, noise_level)
 
     return loss_fn
 
