@@ -1,7 +1,9 @@
 from transformer_latent_diffusion_tpu.sampling.diffusion import (  # noqa: F401
     DiffusionGenerator,
+    cfg_combine,
     make_noise_levels,
     make_step_coeffs,
+    prediction_to_x0,
 )
 from transformer_latent_diffusion_tpu.sampling.pipeline import (  # noqa: F401
     DiffusionTransformer,

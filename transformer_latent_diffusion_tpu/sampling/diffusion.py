@@ -95,6 +95,46 @@ def prediction_to_x0(pred, x_t, sigma, objective: str):
         f"{PREDICTION_OBJECTIVES}")
 
 
+def cfg_combine(cond, uncond, class_guidance, sigma=None,
+                cfg_rescale: float = 0.0, guidance_interval=None):
+    """Classifier-free-guidance combine with optional quality knobs
+    (beyond reference — the reference combine is the plain lerp,
+    diffusion.py:122-125).
+
+    class_guidance may be a scalar (reference semantics) or a per-image
+    vector (num,) — used by the serving micro-batcher to coalesce
+    requests with different guidance strengths into one scan call.
+
+    cfg_rescale in [0, 1] (Lin et al. 2023, "Common Diffusion Noise
+    Schedules and Sample Steps are Flawed" §3.4): rescales the combined
+    prediction's per-sample std back to the cond half's std, then
+    blends `rescale*rescaled + (1-rescale)*combined`. Counters the
+    over-saturation/contrast-blowup of large guidance scales. 0 = off
+    (exact reference math).
+
+    guidance_interval=(lo, hi) (Kynkäänniemi et al. 2024, "Applying
+    Guidance in a Limited Interval"): guidance is applied only at noise
+    levels sigma in [lo, hi]; outside, the cond prediction is used
+    unchanged (g=1). `sigma` is the step's noise level (traced scalar
+    inside the sampling scan). None = always active.
+    """
+    g = class_guidance
+    if getattr(g, "ndim", 0) == 1:
+        g = g.reshape(-1, *([1] * (cond.ndim - 1)))
+    out = g * cond + (1.0 - g) * uncond
+    if cfg_rescale:
+        axes = tuple(range(1, cond.ndim))
+        std_c = jnp.std(cond, axis=axes, keepdims=True)
+        std_o = jnp.std(out, axis=axes, keepdims=True)
+        rescaled = out * (std_c / jnp.maximum(std_o, 1e-8))
+        out = cfg_rescale * rescaled + (1.0 - cfg_rescale) * out
+    if guidance_interval is not None and sigma is not None:
+        lo, hi = guidance_interval
+        active = jnp.logical_and(sigma >= lo, sigma <= hi)
+        out = jnp.where(active, out, cond)
+    return out
+
+
 @dataclass
 class DiffusionGenerator:
     """Reverse-diffusion generator over a Flax denoiser + Flax VAE.
@@ -138,10 +178,15 @@ class DiffusionGenerator:
 
     def _sample_fn(self, n_steps: int, shape: Tuple[int, ...],
                    cache_interval: int = 1, masked: bool = False,
-                   ctx_channels: int = 0, fresh_noise: bool = False):
-        """Build (and cache) the jitted scan for a given step-count/shape."""
+                   ctx_channels: int = 0, fresh_noise: bool = False,
+                   cfg_rescale: float = 0.0, guidance_interval=None):
+        """Build (and cache) the jitted scan for a given step-count/shape.
+
+        cfg_rescale / guidance_interval are compile-time constants (part
+        of the cache key) so the default path keeps the exact reference
+        combine with zero added ops in the hot scan body."""
         key = (n_steps, shape, cache_interval, masked, ctx_channels,
-               fresh_noise)
+               fresh_noise, cfg_rescale, guidance_interval)
         if key in self._compiled:
             return self._compiled[key]
 
@@ -187,15 +232,10 @@ class DiffusionGenerator:
                 f"unknown prediction_type {pred_kind!r}; expected one of "
                 f"{PREDICTION_OBJECTIVES}")
 
-        def _cfg_combine(cond, uncond, class_guidance):
-            # class_guidance may be a scalar (reference semantics) or a
-            # per-image vector (num,) — used by the serving micro-batcher
-            # to coalesce requests with different guidance strengths into
-            # one scan call.
-            g = class_guidance
-            if getattr(g, "ndim", 0) == 1:
-                g = g.reshape(-1, *([1] * (cond.ndim - 1)))
-            return g * cond + (1.0 - g) * uncond
+        def _cfg_combine(cond, uncond, class_guidance, sigma):
+            return cfg_combine(cond, uncond, class_guidance, sigma=sigma,
+                               cfg_rescale=cfg_rescale,
+                               guidance_interval=guidance_interval)
 
         def pred_x0(prepared, x_t, labels_cat, noise_level, class_guidance,
                     context=None):
@@ -218,7 +258,8 @@ class DiffusionGenerator:
                 x0 = pipeline_fn(prepared, x2, noises, labels_cat)
             else:
                 x0 = model.apply({"params": prepared}, x2, noises, labels_cat)
-            out = _cfg_combine(x0[:num], x0[num:], class_guidance)
+            out = _cfg_combine(x0[:num], x0[num:], class_guidance,
+                               noise_level)
             # affine-in-prediction conversion commutes with CFG, so one
             # conversion on the combined output is exact
             return prediction_to_x0(out, x_t, noise_level, pred_kind)
@@ -240,7 +281,8 @@ class DiffusionGenerator:
             noises = jnp.full((2 * num, 1), noise_level, dtype=x_t.dtype)
             x0, delta = fast_apply.apply_prepared_cached(
                 prepared, x2, noises, labels_cat, delta, refresh)
-            out = _cfg_combine(x0[:num], x0[num:], class_guidance)
+            out = _cfg_combine(x0[:num], x0[num:], class_guidance,
+                               noise_level)
             return (prediction_to_x0(out, x_t, noise_level, pred_kind),
                     delta)
 
@@ -386,6 +428,8 @@ class DiffusionGenerator:
         context_latents=None,
         fresh_noise: bool = False,
         clamp_first: bool = True,
+        cfg_rescale: float = 0.0,
+        guidance_interval=None,
     ):
         """Generate images via reverse diffusion.
 
@@ -424,6 +468,16 @@ class DiffusionGenerator:
           update only (use_ddpm_plus must be False); excludes mask.
         - clamp_first=False skips the reference's first-level 0.99 clamp
           on an explicitly-passed noise_levels (internal/testing knob).
+        - cfg_rescale in [0, 1]: guidance-rescale (Lin et al. 2023) —
+          rescales the combined prediction's per-sample std back toward
+          the cond half's std before the x0 conversion, countering the
+          over-saturation of large guidance scales. 0 (default) = exact
+          reference combine.
+        - guidance_interval=(lo, hi): apply CFG only at noise levels in
+          [lo, hi] (Kynkäänniemi et al. 2024); outside the interval the
+          cond prediction is used unchanged. None (default) = always.
+          Both knobs are compile-time constants of the cached scan (see
+          cfg_combine).
 
         cache_interval > 1 enables Delta-DiT-style block caching on the
         fused engine: the middle layer groups are recomputed only every
@@ -528,10 +582,21 @@ class DiffusionGenerator:
 
         if mask is not None or fresh_noise:
             cache_interval = 1  # block caching: plain DDIM/DPM scans only
+        if not 0.0 <= cfg_rescale <= 1.0:
+            raise ValueError(f"cfg_rescale must be in [0, 1], got "
+                             f"{cfg_rescale}")
+        if guidance_interval is not None:
+            lo, hi = guidance_interval
+            if not 0.0 <= lo <= hi <= 1.0:
+                raise ValueError(f"guidance_interval must satisfy 0 <= lo "
+                                 f"<= hi <= 1, got {guidance_interval}")
+            guidance_interval = (float(lo), float(hi))
         run = self._sample_fn(n_steps, tuple(x_t.shape), cache_interval,
                               masked=mask is not None,
                               ctx_channels=0 if ctx is None else ctx.shape[1],
-                              fresh_noise=fresh_noise)
+                              fresh_noise=fresh_noise,
+                              cfg_rescale=float(cfg_rescale),
+                              guidance_interval=guidance_interval)
         args = (
             self.params,
             x_t,

@@ -293,6 +293,8 @@ class DiffusionTransformer:
         cache_interval=1,
         negative_prompt=None,
         pad_to=None,
+        cfg_rescale=0.0,
+        guidance_interval=None,
     ):
         """Prompt -> PIL image grid. Parity: reference diffusion.py:165-186
         (including: the latent size comes from the model's image_size; the
@@ -302,14 +304,16 @@ class DiffusionTransformer:
         reference) steers CFG away from its embedding instead of the
         zero vector. prompt may be a list of distinct prompts (beyond
         reference): one image per prompt in a single scan call,
-        overriding num_imgs."""
+        overriding num_imgs. cfg_rescale / guidance_interval are the
+        guidance quality knobs (see DiffusionGenerator.generate)."""
         num_imgs = len(prompt) if isinstance(prompt, (list, tuple)) \
             else num_imgs
         out = self.generate_array_from_text(
             prompt, class_guidance=class_guidance, seed=seed,
             num_imgs=num_imgs, n_iter=n_iter,
             cache_interval=cache_interval, negative_prompt=negative_prompt,
-            pad_to=pad_to)
+            pad_to=pad_to, cfg_rescale=cfg_rescale,
+            guidance_interval=guidance_interval)
         return uint8_grid_to_pil(out, nrow=int(math.sqrt(num_imgs)),
                                  padding=4)
 
@@ -323,6 +327,8 @@ class DiffusionTransformer:
         cache_interval=1,
         negative_prompt=None,
         pad_to=None,
+        cfg_rescale=0.0,
+        guidance_interval=None,
     ):
         """Like generate_image_from_text but returns the raw images as a
         (num_imgs, H, W, 3) uint8 array instead of a PIL grid — the form
@@ -355,6 +361,8 @@ class DiffusionTransformer:
             cache_interval=cache_interval,
             output="uint8",
             negative_labels=negative_labels,
+            cfg_rescale=cfg_rescale,
+            guidance_interval=guidance_interval,
         )
         return np.asarray(out)[:num_imgs]
 
