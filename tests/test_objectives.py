@@ -203,6 +203,55 @@ def test_training_smoke_min_snr(tmp_path):
     assert all(np.isfinite(result["losses"]))
 
 
+def test_offset_noise():
+    """TrainConfig.offset_noise adds a per-(sample,channel) broadcast
+    component to the corruption noise; the eps target uses the SAME
+    effective noise (self-consistency), pinned by exact rng replay."""
+    from transformer_latent_diffusion_tpu.configs import TrainConfig
+    from transformer_latent_diffusion_tpu.train.train import build_loss_fn
+
+    rng = np.random.default_rng(9)
+    x = jnp.asarray(rng.standard_normal((8, 4, 16, 16)), dtype=jnp.float32)
+    y = jnp.asarray(rng.standard_normal((8, 768)), dtype=jnp.float32)
+    key = jax.random.PRNGKey(11)
+
+    # zero-prediction eps-objective stub: loss == mean(effective_noise^2)
+    class StubZero:
+        dropout = 0
+        mlp_class = "sep_conv"
+        objective = "eps"
+
+        def apply(self, variables, x_noisy, noise_level, label,
+                  deterministic=True, rngs=None):
+            return jnp.zeros_like(x_noisy)
+
+    loss = float(build_loss_fn(StubZero(), TrainConfig(offset_noise=0.5),
+                               vae_scale_factor=1.0)({}, x, y, key))
+    # exact replay of the loss_fn's draws
+    r_noise = jax.random.split(key, 5)[1]
+    eps = jax.random.normal(r_noise, x.shape, dtype=x.dtype)
+    z = jax.random.normal(jax.random.fold_in(r_noise, 1),
+                          (8, 4, 1, 1), dtype=x.dtype)
+    np.testing.assert_allclose(
+        loss, float(jnp.mean((eps + 0.5 * z) ** 2)), rtol=1e-6)
+
+    # offset=0 stays bit-identical to the pre-feature path
+    base = float(build_loss_fn(StubZero(), TrainConfig(),
+                               vae_scale_factor=1.0)({}, x, y, key))
+    np.testing.assert_allclose(base, float(jnp.mean(eps ** 2)), rtol=1e-6)
+
+
+def test_training_smoke_offset_noise(tmp_path):
+    from tests.test_training import _model_cfg
+    from transformer_latent_diffusion_tpu.train import main
+
+    cfg = _model_cfg(tmp_path, denoiser=TINY, img_size=TINY.image_size)
+    cfg.train_config.offset_noise = 0.1
+    result = main(cfg)
+    assert result["global_step"] == 4
+    assert all(np.isfinite(result["losses"]))
+
+
 @pytest.mark.parametrize("kind", ["v", "eps"])
 def test_training_smoke_objective(tmp_path, kind):
     """2-epoch train.main smoke per objective (mirrors test_training)."""

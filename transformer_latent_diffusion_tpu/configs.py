@@ -201,6 +201,15 @@ class TrainConfig:
     # recovers plain SNR weighting (i.e. unweighted eps-MSE).
     loss_weighting: Optional[str] = None
     min_snr_gamma: float = 5.0
+    # offset noise (beyond reference; Guttenberg 2023, the standard SD
+    # fine-tune trick): the corruption noise becomes
+    # eps + offset_noise * z with z ~ N(0,1) drawn per (sample, channel)
+    # and broadcast spatially — exposes the model to low-frequency /
+    # global-brightness noise components the i.i.d. draw almost never
+    # produces, fixing very-bright/very-dark generation. The objective
+    # targets use the SAME effective noise, so eps/v training stays
+    # self-consistent. 0 = off (reference behavior).
+    offset_noise: float = 0.0
     mesh_shape: Optional[Tuple[int, int]] = None  # (data, model); None = all-data
     param_dtype: str = "float32"
     compute_dtype: str = "bfloat16"

@@ -206,6 +206,7 @@ def build_loss_fn(model: Denoiser, train_cfg, vae_scale_factor,
         raise ValueError(
             f"unknown loss_weighting {weighting!r}; expected None or 'min_snr'")
     min_snr_gamma = float(getattr(train_cfg, "min_snr_gamma", 5.0))
+    offset_noise = float(getattr(train_cfg, "offset_noise", 0.0))
 
     def _loss_weight(noise_level):
         """Per-sample (n,1) loss weight for the target-space MSE.
@@ -273,6 +274,13 @@ def build_loss_fn(model: Denoiser, train_cfg, vae_scale_factor,
         )
         nl = noise_level[:, :, None, None]
         noise = jax.random.normal(r_noise, x.shape, dtype=x.dtype)
+        if offset_noise:
+            # per-(sample, channel) low-frequency component, broadcast
+            # spatially (TrainConfig.offset_noise). Keyed by fold_in so
+            # the other five draws stay bit-identical to offset=0 runs.
+            z = jax.random.normal(jax.random.fold_in(r_noise, 1),
+                                  x.shape[:2] + (1, 1), dtype=x.dtype)
+            noise = noise + offset_noise * z
         x_noisy = nl * noise + (1.0 - nl) * x
         target = (x if objective == "x0"
                   else noise if objective == "eps"
