@@ -133,6 +133,40 @@ def test_clip_encode_text():
     assert np.abs(np.asarray(emb)[0] - np.asarray(emb)[1]).max() > 1e-4
 
 
+def test_generate_best_of():
+    """Best-of-N CLIP re-ranking: top_k images are the argsort of the
+    per-candidate CLIP scores over the SAME candidate batch (seed-
+    reproducible), shapes/ordering/validation pinned."""
+    import pytest
+
+    from transformer_latent_diffusion_tpu.configs import ClipVisionConfig
+
+    cfg = tiny_ltd_config()
+    cfg.clip_vision_cfg = ClipVisionConfig(
+        image_size=32, patch_size=8, width=32, heads=2, layers=2,
+        embed_dim=768)
+    dt = DiffusionTransformer(cfg)
+    kw = dict(seed=3, n_iter=4, class_guidance=4.0)
+    candidates = dt.generate_array_from_text("a cat", num_imgs=4, **kw)
+    best, scores = dt.generate_best_of("a cat", n_candidates=4, top_k=2,
+                                       return_scores=True, **kw)
+    assert best.shape == (2,) + candidates.shape[1:]
+    assert best.dtype == np.uint8
+    assert scores[0] >= scores[1]
+    # returned images are actual candidates, in score order
+    cand_list = [candidates[i].tobytes() for i in range(4)]
+    assert best[0].tobytes() in cand_list
+    assert best[1].tobytes() in cand_list
+    # deterministic
+    best2 = dt.generate_best_of("a cat", n_candidates=4, top_k=2, **kw)
+    np.testing.assert_array_equal(best, best2)
+
+    with pytest.raises(ValueError):
+        dt.generate_best_of(["a", "b"], n_candidates=2)
+    with pytest.raises(ValueError):
+        dt.generate_best_of("a cat", n_candidates=2, top_k=3)
+
+
 def test_full_generation_pipeline():
     """End-to-end text->image API. Parity: reference test_diffuser.py:88-93
     plus BASELINE config #1 ('a cute cat')."""

@@ -309,6 +309,11 @@ class LTDConfig:
     # DiffusionTransformer.load_lora.
     lora_path: Optional[str] = None
     lora_scale: Optional[float] = None
+    # beyond reference: CLIP image-tower config for best-of-N candidate
+    # re-ranking (DiffusionTransformer.generate_best_of); the tower is
+    # built lazily on first use. None = default ViT-L/14 shapes
+    # (random-init unless weights_path is set).
+    clip_vision_cfg: Optional[ClipVisionConfig] = None
 
 
 @dataclass

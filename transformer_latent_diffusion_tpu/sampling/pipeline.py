@@ -366,6 +366,79 @@ class DiffusionTransformer:
         )
         return np.asarray(out)[:num_imgs]
 
+    _clip_vision = None
+
+    @property
+    def clip_vision(self):
+        """Lazy CLIP image tower (models/clip.FlaxClipVision) for
+        best-of-N re-ranking and evaluation — configured by
+        LTDConfig.clip_vision_cfg (None = default ViT-L/14 shapes,
+        random-init unless weights_path points at converted weights,
+        scripts/convert_towers.py --clip-vision)."""
+        if self._clip_vision is None:
+            from transformer_latent_diffusion_tpu.configs import (
+                ClipVisionConfig,
+            )
+            from transformer_latent_diffusion_tpu.models.clip import (
+                FlaxClipVision,
+            )
+
+            vcfg = getattr(self.cfg, "clip_vision_cfg", None)
+            self._clip_vision = FlaxClipVision.from_config(
+                vcfg if vcfg is not None else ClipVisionConfig())
+        return self._clip_vision
+
+    def generate_best_of(
+        self,
+        prompt: str,
+        n_candidates: int = 8,
+        top_k: int = 1,
+        class_guidance=6,
+        seed=11,
+        n_iter=15,
+        negative_prompt=None,
+        return_scores: bool = False,
+        **gen_kwargs,
+    ):
+        """Best-of-N with CLIP re-ranking (beyond reference): generate
+        `n_candidates` images for ONE prompt in a single scan call
+        (distinct noise per candidate from one seed), score each against
+        the prompt's CLIP text embedding with the in-repo CLIP image
+        tower (utils/clip_eval.py feature path), and return the `top_k`
+        best as a (top_k, H, W, 3) uint8 array, best first —
+        `return_scores=True` also returns the matching CLIP scores.
+
+        Meaningful ranking needs converted tower weights
+        (LTDConfig.clip_vision_cfg.weights_path + real CLIP text
+        weights); with random towers the order is deterministic but
+        semantically meaningless (the hermetic-test degradation mode
+        shared by the rest of the stack)."""
+        if isinstance(prompt, (list, tuple)):
+            raise ValueError(
+                "generate_best_of ranks candidates for a single prompt; "
+                "got a list")
+        if not 1 <= top_k <= n_candidates:
+            raise ValueError(
+                f"top_k must be in [1, n_candidates={n_candidates}], "
+                f"got {top_k}")
+        from transformer_latent_diffusion_tpu.utils.clip_eval import (
+            clip_image_features,
+        )
+
+        imgs = self.generate_array_from_text(
+            prompt, num_imgs=n_candidates, seed=seed, n_iter=n_iter,
+            class_guidance=class_guidance, negative_prompt=negative_prompt,
+            **gen_kwargs)
+        feats = clip_image_features(imgs, self.clip_vision,
+                                    batch_size=min(32, n_candidates))
+        txt = np.asarray(encode_text([prompt], self.clip_model), np.float32)
+        feats = feats / np.linalg.norm(feats, axis=-1, keepdims=True)
+        txt = txt / np.linalg.norm(txt, axis=-1, keepdims=True)
+        scores = 100.0 * (feats @ txt[0])
+        order = np.argsort(-scores, kind="stable")[:top_k]
+        out = imgs[order]
+        return (out, scores[order]) if return_scores else out
+
     def _encode_init_image(self, image):
         """PIL / (H,W,3) / (B,H,W,3) image -> sampler-unit latents.
 
