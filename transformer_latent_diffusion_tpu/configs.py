@@ -89,6 +89,11 @@ class DenoiserConfig:
     # flow velocity eps - x0 — flow matching under the repo's
     # linear-interpolation schedule). Travels with the model config so
     # checkpoints round-trip with the right sampling conversion.
+    # Measured (scripts/probe_objective_quality.py, table in DESIGN.md):
+    # "v" beats "x0" on truth-FID; "eps" is ill-conditioned under this
+    # schedule (the x0 conversion divides by 1-sigma, 100x error
+    # amplification at the 0.99 start) — exposed for checkpoint
+    # compatibility, not recommended for training.
     objective: str = "x0"
 
 
