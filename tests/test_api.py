@@ -269,6 +269,32 @@ def test_generate_image_with_acceleration_knobs(client):
     assert img.format == "JPEG"
 
 
+def test_generate_image_best_of(client):
+    """best_of=N: generate N candidates, CLIP-rank, return top num_imgs
+    as a JPEG grid; invalid combos are 422 on both frontends."""
+    token = os.getenv("API_TOKEN")
+    auth = {"Authorization": f"Bearer {token}"}
+    r = client.post_json(
+        "/generate-image/",
+        {"prompt": "a cute cat", "n_iter": 4, "best_of": 3, "num_imgs": 1},
+        headers=auth)
+    assert r["status"] == 200
+    img = PIL.Image.open(io.BytesIO(r["body"]))
+    assert img.format == "JPEG"
+
+    r = client.post_json(
+        "/generate-image/",
+        {"prompt": "a cat", "best_of": 1, "num_imgs": 2},
+        headers=auth)
+    assert r["status"] == 422
+
+    r = client.post_json(
+        "/generate-image/",
+        {"prompt": "a cat", "best_of": 2, "seed_b": 3},
+        headers=auth)
+    assert r["status"] == 422
+
+
 def test_serving_compile_count_is_bounded():
     """A hostile client cycling num_imgs / n_iter must not force one XLA
     scan compile per distinct value (VERDICT r2 #7): the service snaps

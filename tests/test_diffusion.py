@@ -34,10 +34,16 @@ tiny_clip = dict(width=64, heads=2, layers=2, embed_dim=768)
 
 
 def tiny_ltd_config() -> LTDConfig:
+    from transformer_latent_diffusion_tpu.configs import ClipVisionConfig
+
     return LTDConfig(
         denoiser_cfg=denoiser_cfg,
         vae_cfg=VaeConfig(block_out_channels=(8, 16), layers_per_block=1),
         clip_cfg=ClipConfig(width=64, heads=2, layers=2, embed_dim=768),
+        # tiny image tower so best-of-N paths stay CPU-fast (lazy — only
+        # built when a test actually ranks candidates)
+        clip_vision_cfg=ClipVisionConfig(image_size=32, patch_size=8,
+                                         width=32, heads=2, layers=2),
         use_pallas=False,
     )
 

@@ -101,3 +101,18 @@ def test_gradio_client_interpolation(live_server, monkeypatch):
     img = generate_image_from_text("a cat", n_iter=3, seed_b=-1)
     assert isinstance(img, PIL.Image.Image)
     assert img.size == (32 + 8, 32 + 8)
+
+
+def test_gradio_client_best_of(live_server, monkeypatch):
+    """Best-of-N through the UI client: best_of > 1 rides the service's
+    best_of field on plain text-to-image requests only."""
+    monkeypatch.setenv("API_URL", f"{live_server}/generate-image/")
+    img = generate_image_from_text("a cute cat", n_iter=3, best_of=3)
+    assert isinstance(img, PIL.Image.Image)
+    assert img.size == (32 + 8, 32 + 8)  # single ranked image, grid pad 4
+
+    # best_of composes out of interpolation client-side (strip wins)
+    img = generate_image_from_text("a cat", n_iter=3, seed_b=9,
+                                   n_frames=2, best_of=3)
+    assert isinstance(img, PIL.Image.Image)
+    assert img.size == (2 * 32 + 3 * 4, 32 + 8)

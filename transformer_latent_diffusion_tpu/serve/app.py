@@ -174,11 +174,20 @@ class GenerationService:
                        mask: Optional[str] = None,
                        strength: Optional[float] = None,
                        interpolate_to: Optional[str] = None,
-                       seed_b: Optional[int] = None) -> bytes:
+                       seed_b: Optional[int] = None,
+                       best_of: Optional[int] = None) -> bytes:
         if (interpolate_to is not None or seed_b is not None) \
                 and init_image is not None:
             raise ValueError("interpolate_to/seed_b do not compose with "
                              "init_image")
+        if best_of is not None and (init_image is not None
+                                    or interpolate_to is not None
+                                    or seed_b is not None):
+            raise ValueError("best_of does not compose with init_image/"
+                             "interpolation")
+        if best_of is not None and best_of < num_imgs:
+            raise ValueError(f"best_of ({best_of}) must be >= num_imgs "
+                             f"({num_imgs})")
         if self.n_iter_buckets:
             n_iter = self._snap_up(n_iter, self.n_iter_buckets)
         pad_to = None
@@ -186,7 +195,30 @@ class GenerationService:
             pad_to = self._snap_up(num_imgs, self.num_imgs_buckets)
             if pad_to == num_imgs:
                 pad_to = None
-        if init_image is not None:
+        if best_of is not None:
+            # best-of-N CLIP re-ranking (bypasses the batcher — ranking
+            # is per-prompt); the candidate batch is what compiles, so
+            # bucket best_of, not num_imgs
+            import math
+
+            from transformer_latent_diffusion_tpu.utils import (
+                uint8_grid_to_pil,
+            )
+
+            cand_pad = None
+            if (self.num_imgs_buckets
+                    and best_of <= self.num_imgs_buckets[-1]):
+                cand_pad = self._snap_up(best_of, self.num_imgs_buckets)
+                if cand_pad == best_of:
+                    cand_pad = None
+            arr = self.transformer.generate_best_of(
+                prompt, n_candidates=best_of, top_k=num_imgs,
+                class_guidance=class_guidance, seed=seed, n_iter=n_iter,
+                negative_prompt=negative_prompt, pad_to=cand_pad,
+            )
+            img = uint8_grid_to_pil(arr, nrow=int(math.sqrt(num_imgs)),
+                                    padding=4)
+        elif init_image is not None:
             # img2img / inpainting (base64-encoded PNG/JPEG payloads);
             # bypasses the batcher — per-request init latents don't
             # coalesce
@@ -255,7 +287,8 @@ REQUEST_DEFAULTS = {"class_guidance": 6, "seed": 11, "num_imgs": 1,
                     "img_size": 32, "n_iter": 15, "cache_interval": 1,
                     "negative_prompt": None, "init_image": None,
                     "mask": None, "strength": None,
-                    "interpolate_to": None, "seed_b": None}
+                    "interpolate_to": None, "seed_b": None,
+                    "best_of": None}
 # fields pydantic types as non-Optional: explicit null -> 422, both frontends
 NON_NULLABLE_FIELDS = ("prompt", "class_guidance", "seed", "num_imgs",
                        "img_size", "n_iter", "cache_interval")
@@ -320,6 +353,18 @@ def create_wsgi_app(cfg: Optional[LTDConfig] = None, service=None):
                     return respond(422, json.dumps({
                         "detail": "interpolate_to/seed_b do not compose "
                                   "with init_image"}).encode())
+                if (payload.get("best_of") is not None
+                        and (payload.get("init_image") is not None
+                             or payload.get("interpolate_to") is not None
+                             or payload.get("seed_b") is not None)):
+                    return respond(422, json.dumps({
+                        "detail": "best_of does not compose with "
+                                  "init_image/interpolation"}).encode())
+                if (payload.get("best_of") is not None
+                        and payload["best_of"]
+                        < payload.get("num_imgs", 1)):
+                    return respond(422, json.dumps({
+                        "detail": "best_of must be >= num_imgs"}).encode())
                 # explicit JSON null on a non-nullable field is a client
                 # error — 422 like the pydantic frontend, not a 500
                 for k in NON_NULLABLE_FIELDS:
@@ -376,6 +421,9 @@ def create_fastapi_app(cfg: Optional[LTDConfig] = None, service=None):
         # init noise seed -> seed_b; num_imgs = frame count
         interpolate_to: Optional[str] = None
         seed_b: Optional[int] = None
+        # best-of-N CLIP re-ranking: generate best_of candidates, return
+        # the top num_imgs (requires best_of >= num_imgs)
+        best_of: Optional[int] = None
 
     @app.get("/")
     def read_root():
@@ -402,6 +450,16 @@ def create_fastapi_app(cfg: Optional[LTDConfig] = None, service=None):
             raise HTTPException(status_code=422,
                                 detail="interpolate_to/seed_b do not "
                                        "compose with init_image")
+        if request.best_of is not None and (
+                request.init_image is not None
+                or request.interpolate_to is not None
+                or request.seed_b is not None):
+            raise HTTPException(status_code=422,
+                                detail="best_of does not compose with "
+                                       "init_image/interpolation")
+        if request.best_of is not None and request.best_of < request.num_imgs:
+            raise HTTPException(status_code=422,
+                                detail="best_of must be >= num_imgs")
         try:
             jpeg = svc.generate_jpeg(
                 prompt=request.prompt, class_guidance=request.class_guidance,
@@ -412,6 +470,7 @@ def create_fastapi_app(cfg: Optional[LTDConfig] = None, service=None):
                 init_image=request.init_image, mask=request.mask,
                 strength=request.strength,
                 interpolate_to=request.interpolate_to, seed_b=request.seed_b,
+                best_of=request.best_of,
             )
             return StreamingResponse(io.BytesIO(jpeg), media_type="image/jpeg")
         except Exception as e:

@@ -43,7 +43,8 @@ def generate_image_from_text(prompt: str, class_guidance: float = 6,
                              seed: int = 11, n_iter: int = 15,
                              interpolate_to: str = "",
                              seed_b: float = -1,
-                             n_frames: int = 4):
+                             n_frames: int = 4,
+                             best_of: float = 1):
     import requests
     from PIL import Image
 
@@ -70,6 +71,9 @@ def generate_image_from_text(prompt: str, class_guidance: float = 6,
         data["strength"] = float(strength)
         if mask is not None:
             data["mask"] = _b64_png(mask)
+    elif not morph and int(best_of) > 1:
+        # best-of-N CLIP re-ranking (plain text-to-image only)
+        data["best_of"] = int(best_of)
 
     response = requests.post(url, json=data, headers=headers)
     if response.status_code == 200:
@@ -97,7 +101,10 @@ def build_interface():
                 gr.Number(value=-1, precision=0,
                           label="Seed B (optional: noise-morph strip from "
                                 "Seed to Seed B; -1 = off)"),
-                gr.Slider(2, 10, value=4, step=1, label="Frames")],
+                gr.Slider(2, 10, value=4, step=1, label="Frames"),
+                gr.Slider(1, 16, value=1, step=1,
+                          label="Best of N (CLIP re-ranked candidates; "
+                                "1 = off)")],
         outputs="image",
         title="Text-to-Image Generator",
         description="Enter a text prompt to generate an image. Optionally "
