@@ -377,6 +377,7 @@ def test_generate_image_interpolation(client):
 def test_ltd_config_json_roundtrip(tmp_path):
     from transformer_latent_diffusion_tpu.configs import (
         ClipConfig,
+        ClipVisionConfig,
         LTDConfig,
         VaeConfig,
         config_to_json,
@@ -386,6 +387,7 @@ def test_ltd_config_json_roundtrip(tmp_path):
     cfg = LTDConfig(
         vae_cfg=VaeConfig(block_out_channels=(8, 16), layers_per_block=1),
         clip_cfg=ClipConfig(width=64, heads=2, layers=2),
+        clip_vision_cfg=ClipVisionConfig(width=32, heads=2, layers=2),
         use_pallas=False,
         quantize="int8",
         mesh_shape=(8, 1),

@@ -372,6 +372,7 @@ _LTD_NESTED = {
     "denoiser_load": "DenoiserLoad",
     "vae_cfg": "VaeConfig",
     "clip_cfg": "ClipConfig",
+    "clip_vision_cfg": "ClipVisionConfig",
 }
 
 
