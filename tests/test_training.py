@@ -356,3 +356,60 @@ def test_warmup_optimizer_schedule():
     ref = optax.adam(lr).update(grads, optax.adam(lr).init(params), params)[0]
     np.testing.assert_allclose(np.asarray(u0["w"]), np.asarray(ref["w"]),
                                rtol=1e-6)
+
+
+def test_make_optimizer_production_knobs():
+    """grad_clip_norm == adam on the globally-clipped gradient; cosine
+    decay drives the effective LR (hence adam's update magnitude) to
+    ~lr_final_frac; bad configs raise."""
+    import optax
+    import pytest
+
+    from transformer_latent_diffusion_tpu.train.train import make_optimizer
+
+    params = {"w": jnp.ones(4), "b": jnp.ones(2)}
+    grads = {"w": jnp.full(4, 30.0), "b": jnp.full(2, 40.0)}
+
+    tx = make_optimizer(TrainConfig(lr=1e-3, grad_clip_norm=1.0))
+    upd, _ = tx.update(grads, tx.init(params), params)
+    gnorm = float(optax.global_norm(grads))
+    ref = optax.adam(1e-3)
+    upd_ref, _ = ref.update(
+        jax.tree.map(lambda g: g / gnorm, grads), ref.init(params), params)
+    for k in ("w", "b"):
+        np.testing.assert_allclose(np.asarray(upd[k]), np.asarray(upd_ref[k]),
+                                   rtol=1e-6)
+
+    # cosine to zero: with constant grads adam's per-step update
+    # magnitude tracks the LR, so past warmup+decay it collapses
+    tx = make_optimizer(TrainConfig(lr=1e-3, warmup_steps=2,
+                                    lr_schedule="cosine", lr_decay_steps=5,
+                                    lr_final_frac=0.0))
+    state = tx.init(params)
+    mags = []
+    for _ in range(10):
+        upd, state = tx.update(grads, state, params)
+        mags.append(float(jnp.abs(upd["w"][0])))
+    assert mags[2] == max(mags)  # peak right after the 2-step warmup
+    assert mags[-1] < 1e-3 * 1e-3  # decayed to ~0 and held
+    # constant schedule stays at lr-scale forever
+    tx = make_optimizer(TrainConfig(lr=1e-3))
+    state = tx.init(params)
+    for _ in range(10):
+        upd, state = tx.update(grads, state, params)
+    assert float(jnp.abs(upd["w"][0])) > 1e-4
+
+    with pytest.raises(ValueError):
+        make_optimizer(TrainConfig(lr_schedule="cosine"))  # no decay_steps
+    with pytest.raises(ValueError):
+        make_optimizer(TrainConfig(lr_schedule="linear"))
+
+
+def test_training_smoke_cosine_and_clip(tmp_path):
+    from transformer_latent_diffusion_tpu.train import main
+
+    cfg = _model_cfg(tmp_path, lr_schedule="cosine", lr_decay_steps=3,
+                     warmup_steps=1, grad_clip_norm=1.0)
+    result = main(cfg)
+    assert result["global_step"] == 4
+    assert all(np.isfinite(result["losses"]))

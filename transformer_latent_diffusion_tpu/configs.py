@@ -182,6 +182,16 @@ class TrainConfig:
     # plain Adam (train.py:86) but its published 101M run used a
     # 1000-step warmup (README.md:192); 0 = reference-code behaviour.
     warmup_steps: int = 0
+    # TPU additions — production LR/stability knobs (train.make_optimizer;
+    # all defaults = reference behavior): lr_schedule None/"constant"
+    # holds lr after the warmup; "cosine" decays lr -> lr*lr_final_frac
+    # over lr_decay_steps after the warmup, then holds. grad_clip_norm
+    # clips the (accumulated, averaged) gradient by global norm before
+    # Adam; None = off.
+    lr_schedule: Optional[str] = None
+    lr_decay_steps: int = 0
+    lr_final_frac: float = 0.0
+    grad_clip_norm: Optional[float] = None
     run_id: str = ""
     model_name: str = ""
     compile: bool = True  # kept for parity; JAX always jits — False disables donation

@@ -140,20 +140,49 @@ class GracefulShutdown:
 
 
 def make_optimizer(train_cfg) -> optax.GradientTransformation:
-    """Adam, optionally with linear LR warmup to `train_cfg.lr`.
+    """Adam with optional production knobs — every default matches the
+    reference exactly (plain constant-LR Adam, train.py:86):
 
-    warmup_steps=0 matches the reference code exactly (plain Adam,
-    train.py:86); warmup_steps=1000 matches the published 101M training
-    recipe (reference README.md:192)."""
+    - warmup_steps: linear LR warmup to lr (the published 101M recipe
+      used 1000, reference README.md:192).
+    - lr_schedule="cosine": cosine decay from lr to lr*lr_final_frac
+      over lr_decay_steps after the warmup, then held (None/"constant"
+      = reference behavior).
+    - grad_clip_norm: global-norm gradient clipping before Adam (the
+      standard large-run stability guard; applied to the full
+      accumulated/averaged gradient, so it composes unchanged with
+      grad-accum, DP psum and FSDP — clipping state is empty).
+    """
     warmup = int(getattr(train_cfg, "warmup_steps", 0) or 0)
-    if warmup <= 0:
-        return optax.adam(train_cfg.lr)
-    schedule = optax.join_schedules(
-        [optax.linear_schedule(0.0, train_cfg.lr, warmup),
-         optax.constant_schedule(train_cfg.lr)],
-        boundaries=[warmup],
-    )
-    return optax.adam(schedule)
+    kind = getattr(train_cfg, "lr_schedule", None) or "constant"
+    if kind == "cosine":
+        decay = int(getattr(train_cfg, "lr_decay_steps", 0) or 0)
+        if decay <= 0:
+            raise ValueError(
+                "lr_schedule='cosine' requires lr_decay_steps > 0")
+        lr = optax.warmup_cosine_decay_schedule(
+            init_value=0.0 if warmup else train_cfg.lr,
+            peak_value=train_cfg.lr, warmup_steps=warmup,
+            decay_steps=warmup + decay,
+            end_value=train_cfg.lr
+            * float(getattr(train_cfg, "lr_final_frac", 0.0)))
+    elif kind == "constant":
+        if warmup <= 0:
+            lr = train_cfg.lr
+        else:
+            lr = optax.join_schedules(
+                [optax.linear_schedule(0.0, train_cfg.lr, warmup),
+                 optax.constant_schedule(train_cfg.lr)],
+                boundaries=[warmup],
+            )
+    else:
+        raise ValueError(f"unknown lr_schedule {kind!r}; expected None, "
+                         f"'constant' or 'cosine'")
+    tx = optax.adam(lr)
+    clip = getattr(train_cfg, "grad_clip_norm", None)
+    if clip:
+        tx = optax.chain(optax.clip_by_global_norm(float(clip)), tx)
+    return tx
 
 
 def resolve_fused_flags(train_cfg, on_tpu: bool):
