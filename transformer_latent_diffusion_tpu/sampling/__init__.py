@@ -1,4 +1,5 @@
 from transformer_latent_diffusion_tpu.sampling.diffusion import (  # noqa: F401
+    NOISE_SCHEDULES,
     DiffusionGenerator,
     cfg_combine,
     make_noise_levels,

@@ -26,13 +26,54 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def make_noise_levels(n_iter: int, exponent: float = 1.0) -> np.ndarray:
-    """Schedule `1 - t^exponent` over n_iter points; first level -> 0.99.
+NOISE_SCHEDULES = ("poly", "cosine", "karras")
 
-    Parity: reference diffusion.py:50-52.
+
+def make_noise_levels(n_iter: int, exponent: float = 1.0,
+                      kind: str = "poly") -> np.ndarray:
+    """Noise-level spacing over n_iter points; first level -> 0.99.
+
+    kind:
+      "poly"   — the reference schedule `1 - t^exponent`
+                 (parity: reference diffusion.py:50-52).
+      "cosine" — `0.99 * cos(t * pi/2)`: the half-cosine spacing
+                 (Nichol & Dhariwal 2021 applied to this schedule's
+                 interpolation coefficient; the 0.99 factor realises
+                 the reference's top-level clamp while keeping the grid
+                 strictly decreasing). Dense near the high-noise end,
+                 coarser (but never reaching 0) at the low end.
+                 `exponent` is ignored.
+      "karras" — Karras et al. 2022 (arXiv:2206.00364 eq. 5) rho=7
+                 spacing of the noise-to-signal ratio. This schedule's
+                 corruption `x = s*eps + (1-s)*x0` has NSR
+                 `sigma_VE = s/(1-s)`; the Karras grid is laid out in
+                 sigma_VE^(1/7) between the reference endpoints
+                 (0.99 top, 1/n_iter bottom — the poly exponent=1
+                 endpoints) and mapped back via s = v/(1+v). Relative
+                 to the reference's uniform-s spacing (which is already
+                 low-noise-heavy in NSR terms) this concentrates steps
+                 at HIGH noise, where the large-scale layout is decided.
+                 `exponent` is ignored.
+
+    All kinds return the same shape/endpoint contract the samplers
+    assume: n_iter strictly-decreasing levels, levels[0] = 0.99.
     """
-    t = np.arange(0, 1, 1.0 / n_iter)
-    levels = 1.0 - np.power(t, exponent)
+    if kind == "poly":
+        t = np.arange(0, 1, 1.0 / n_iter)
+        levels = 1.0 - np.power(t, exponent)
+    elif kind == "cosine":
+        t = np.arange(0, 1, 1.0 / n_iter)
+        levels = 0.99 * np.cos(t * np.pi / 2.0)
+    elif kind == "karras":
+        rho = 7.0
+        s_max, s_min = 0.99, 1.0 / n_iter
+        v_max, v_min = s_max / (1 - s_max), s_min / (1 - s_min)
+        g = np.linspace(v_max ** (1 / rho), v_min ** (1 / rho), n_iter)
+        v = g ** rho
+        levels = v / (1.0 + v)
+    else:
+        raise ValueError(f"unknown noise schedule {kind!r}; expected one "
+                         f"of {NOISE_SCHEDULES}")
     levels[0] = 0.99
     return levels.astype(np.float64)
 
@@ -179,14 +220,15 @@ class DiffusionGenerator:
     def _sample_fn(self, n_steps: int, shape: Tuple[int, ...],
                    cache_interval: int = 1, masked: bool = False,
                    ctx_channels: int = 0, fresh_noise: bool = False,
-                   cfg_rescale: float = 0.0, guidance_interval=None):
+                   cfg_rescale: float = 0.0, guidance_interval=None,
+                   heun: bool = False):
         """Build (and cache) the jitted scan for a given step-count/shape.
 
         cfg_rescale / guidance_interval are compile-time constants (part
         of the cache key) so the default path keeps the exact reference
         combine with zero added ops in the hot scan body."""
         key = (n_steps, shape, cache_interval, masked, ctx_channels,
-               fresh_noise, cfg_rescale, guidance_interval)
+               fresh_noise, cfg_rescale, guidance_interval, heun)
         if key in self._compiled:
             return self._compiled[key]
 
@@ -312,6 +354,25 @@ class DiffusionGenerator:
                     x_t = ((curr - nxt) * d + nxt * x_t) / curr
                 return (x_t, x0), None
 
+            def step_heun(carry, inputs):
+                # Heun's method on the interpolation ODE
+                # dx/ds = (x - x0(x, s)) / s, whose Euler step IS the
+                # DDIM update above: one predictor Euler step to the
+                # next level, one corrector eval there, average the two
+                # slopes. Second-order accurate — 2 denoiser calls per
+                # step, so compare at matched NFE (heun n == ddim 2n).
+                x_t, _ = carry
+                curr, nxt, a, b = inputs
+                x0_a = pred_x0(prepared, x_t, labels_cat, curr,
+                               class_guidance, context)
+                k1 = (x_t - x0_a) / curr
+                x_e = x_t + (nxt - curr) * k1
+                x0_b = pred_x0(prepared, x_e, labels_cat, nxt,
+                               class_guidance, context)
+                k2 = (x_e - x0_b) / nxt
+                x_t = x_t + (nxt - curr) * 0.5 * (k1 + k2)
+                return (x_t, x0_a), None
+
             def step_cached(carry, inputs):
                 x_t, x0_prev, delta = carry
                 i, curr, nxt, a, b = inputs
@@ -344,7 +405,8 @@ class DiffusionGenerator:
                 step_xs = ((jnp.arange(n_steps),) + xs if fresh_noise
                            else xs)
                 (x_t, _), _ = jax.lax.scan(
-                    step, (x_init, jnp.zeros_like(x_init)), step_xs,
+                    step_heun if heun else step,
+                    (x_init, jnp.zeros_like(x_init)), step_xs,
                     length=n_steps
                 )
             # final extra denoise at the last level (reference diffusion.py:85)
@@ -430,6 +492,8 @@ class DiffusionGenerator:
         clamp_first: bool = True,
         cfg_rescale: float = 0.0,
         guidance_interval=None,
+        sampler=None,
+        schedule: str = "poly",
     ):
         """Generate images via reverse diffusion.
 
@@ -478,6 +542,15 @@ class DiffusionGenerator:
           cond prediction is used unchanged. None (default) = always.
           Both knobs are compile-time constants of the cached scan (see
           cfg_combine).
+        - sampler: "ddim" / "dpm" / "heun". None (default) keeps the
+          reference selection via use_ddpm_plus; a non-None sampler
+          overrides use_ddpm_plus. "heun" is Heun's second-order method
+          on the interpolation ODE (2 denoiser calls per step — compare
+          at matched NFE: heun n_iter=k ~ ddim n_iter=2k); it excludes
+          mask / fresh_noise / cache_interval.
+        - schedule: noise-level spacing when noise_levels is None —
+          "poly" (reference `1 - t^exponent`, default), "cosine", or
+          "karras" (rho=7 NSR spacing; see make_noise_levels).
 
         cache_interval > 1 enables Delta-DiT-style block caching on the
         fused engine: the middle layer groups are recomputed only every
@@ -491,8 +564,27 @@ class DiffusionGenerator:
         tunneled runtimes). "float" (default) keeps the reference's
         (N, 3, H, W) float convention.
         """
+        if sampler is None:
+            sampler = "dpm" if use_ddpm_plus else "ddim"
+        if sampler not in ("ddim", "dpm", "heun"):
+            raise ValueError(f"unknown sampler {sampler!r}; expected "
+                             f"'ddim', 'dpm' or 'heun'")
+        use_ddpm_plus = sampler == "dpm"
+        heun = sampler == "heun"
+        if heun:
+            if mask is not None:
+                raise ValueError("sampler='heun' does not compose with "
+                                 "inpainting (use ddim/dpm)")
+            if fresh_noise:
+                raise ValueError("fresh_noise is its own (consistency-"
+                                 "multistep) update; it excludes "
+                                 "sampler='heun'")
+            if cache_interval > 1:
+                raise ValueError("cache_interval > 1 (block caching) "
+                                 "assumes the DDIM/DPM scan body; it "
+                                 "excludes sampler='heun'")
         if noise_levels is None:
-            noise_levels = make_noise_levels(n_iter, exponent)
+            noise_levels = make_noise_levels(n_iter, exponent, schedule)
         else:
             noise_levels = np.asarray(noise_levels, dtype=np.float64).copy()
             if clamp_first:
@@ -596,7 +688,8 @@ class DiffusionGenerator:
                               ctx_channels=0 if ctx is None else ctx.shape[1],
                               fresh_noise=fresh_noise,
                               cfg_rescale=float(cfg_rescale),
-                              guidance_interval=guidance_interval)
+                              guidance_interval=guidance_interval,
+                              heun=heun)
         args = (
             self.params,
             x_t,

@@ -295,6 +295,8 @@ class DiffusionTransformer:
         pad_to=None,
         cfg_rescale=0.0,
         guidance_interval=None,
+        sampler=None,
+        schedule="poly",
     ):
         """Prompt -> PIL image grid. Parity: reference diffusion.py:165-186
         (including: the latent size comes from the model's image_size; the
@@ -305,7 +307,9 @@ class DiffusionTransformer:
         zero vector. prompt may be a list of distinct prompts (beyond
         reference): one image per prompt in a single scan call,
         overriding num_imgs. cfg_rescale / guidance_interval are the
-        guidance quality knobs (see DiffusionGenerator.generate)."""
+        guidance quality knobs; sampler ("ddim"/"dpm"/"heun") and
+        schedule ("poly"/"cosine"/"karras") select the solver and
+        noise-level spacing (see DiffusionGenerator.generate)."""
         num_imgs = len(prompt) if isinstance(prompt, (list, tuple)) \
             else num_imgs
         out = self.generate_array_from_text(
@@ -313,7 +317,8 @@ class DiffusionTransformer:
             num_imgs=num_imgs, n_iter=n_iter,
             cache_interval=cache_interval, negative_prompt=negative_prompt,
             pad_to=pad_to, cfg_rescale=cfg_rescale,
-            guidance_interval=guidance_interval)
+            guidance_interval=guidance_interval, sampler=sampler,
+            schedule=schedule)
         return uint8_grid_to_pil(out, nrow=int(math.sqrt(num_imgs)),
                                  padding=4)
 
@@ -329,6 +334,8 @@ class DiffusionTransformer:
         pad_to=None,
         cfg_rescale=0.0,
         guidance_interval=None,
+        sampler=None,
+        schedule="poly",
     ):
         """Like generate_image_from_text but returns the raw images as a
         (num_imgs, H, W, 3) uint8 array instead of a PIL grid — the form
@@ -363,6 +370,8 @@ class DiffusionTransformer:
             negative_labels=negative_labels,
             cfg_rescale=cfg_rescale,
             guidance_interval=guidance_interval,
+            sampler=sampler,
+            schedule=schedule,
         )
         return np.asarray(out)[:num_imgs]
 
