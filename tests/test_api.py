@@ -295,6 +295,33 @@ def test_generate_image_best_of(client):
     assert r["status"] == 422
 
 
+def test_generate_image_solver_knobs(client):
+    """Beyond-reference solver fields: sampler/schedule/cfg_rescale are
+    accepted on plain text-to-image requests; invalid values and bad
+    combinations are 422 on both frontends."""
+    token = os.getenv("API_TOKEN")
+    auth = {"Authorization": f"Bearer {token}"}
+    r = client.post_json(
+        "/generate-image/",
+        {"prompt": "a cute cat", "n_iter": 4, "sampler": "heun",
+         "schedule": "karras", "cfg_rescale": 0.7},
+        headers=auth)
+    assert r["status"] == 200, r
+    img = PIL.Image.open(io.BytesIO(r["body"]))
+    assert img.format == "JPEG"
+
+    for bad in ({"sampler": "euler_a"}, {"schedule": "sigmoid"},
+                {"cfg_rescale": 1.5}, {"schedule": None},
+                {"sampler": "heun", "cache_interval": 2},
+                {"sampler": "heun", "best_of": 2},
+                {"cfg_rescale": 0.5, "seed_b": 3},
+                {"schedule": "karras", "init_image": "aGk="}):
+        r = client.post_json("/generate-image/",
+                             {"prompt": "x", "n_iter": 4, **bad},
+                             headers=auth)
+        assert r["status"] == 422, (bad, r)
+
+
 def test_serving_compile_count_is_bounded():
     """A hostile client cycling num_imgs / n_iter must not force one XLA
     scan compile per distinct value (VERDICT r2 #7): the service snaps

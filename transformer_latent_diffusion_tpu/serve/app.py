@@ -6,7 +6,9 @@ with bearer-token auth against the API_TOKEN env var, request schema
 {prompt, class_guidance=6, seed=11, num_imgs=1, img_size=32}, JPEG
 streaming response, 401 on bad token, 500 with detail on generation error.
 Beyond-reference request fields: n_iter, cache_interval, negative_prompt,
-and init_image/mask/strength (base64 payloads for img2img + inpainting).
+init_image/mask/strength (base64 payloads for img2img + inpainting),
+interpolate_to/seed_b, best_of, and the solver knobs
+sampler/schedule/cfg_rescale (plain text-to-image requests only).
 
 Two frontends over one core handler:
   * `create_fastapi_app` — used when fastapi is installed (same routes /
@@ -175,7 +177,43 @@ class GenerationService:
                        strength: Optional[float] = None,
                        interpolate_to: Optional[str] = None,
                        seed_b: Optional[int] = None,
-                       best_of: Optional[int] = None) -> bytes:
+                       best_of: Optional[int] = None,
+                       sampler: Optional[str] = None,
+                       schedule: str = "poly",
+                       cfg_rescale: float = 0.0) -> bytes:
+        if sampler is not None and sampler not in ("ddim", "dpm", "heun"):
+            raise ValueError(f"unknown sampler {sampler!r}; expected "
+                             f"'ddim', 'dpm' or 'heun'")
+        if schedule not in ("poly", "cosine", "karras"):
+            raise ValueError(f"unknown schedule {schedule!r}; expected "
+                             f"'poly', 'cosine' or 'karras'")
+        if not 0.0 <= cfg_rescale <= 1.0:
+            raise ValueError(f"cfg_rescale must be in [0, 1], got "
+                             f"{cfg_rescale}")
+        # cfg_rescale is a compile-time constant of the scan: snap it to
+        # quarters so a client sweeping values can force at most 5
+        # compiled variants per (num_imgs, n_iter) pair
+        cfg_rescale = round(cfg_rescale * 4) / 4.0
+        # non-default solver knobs change the compiled scan per-request,
+        # which the micro-batcher's shared batch cannot honor — route
+        # those requests solo (sampler/schedule/cfg_rescale also do not
+        # reach the img2img/interpolation/best-of specialty paths, which
+        # keep reference solver semantics)
+        solver_kw = {}
+        if sampler is not None:
+            solver_kw["sampler"] = sampler
+        if schedule != "poly":
+            solver_kw["schedule"] = schedule
+        if cfg_rescale:
+            solver_kw["cfg_rescale"] = cfg_rescale
+        if solver_kw and (init_image is not None or best_of is not None
+                          or interpolate_to is not None
+                          or seed_b is not None):
+            raise ValueError("sampler/schedule/cfg_rescale apply to plain "
+                             "text-to-image requests only")
+        if sampler == "heun" and cache_interval > 1:
+            raise ValueError("cache_interval > 1 (block caching) excludes "
+                             "sampler='heun'")
         if (interpolate_to is not None or seed_b is not None) \
                 and init_image is not None:
             raise ValueError("interpolate_to/seed_b do not compose with "
@@ -260,6 +298,7 @@ class GenerationService:
                 n_iter=n_iter, negative_prompt=negative_prompt,
             )
         elif (self.batcher is not None and cache_interval == 1
+                and not solver_kw
                 and num_imgs <= self.batcher.max_batch):
             img = self.batcher.generate(
                 prompt=prompt, class_guidance=class_guidance, seed=seed,
@@ -273,6 +312,7 @@ class GenerationService:
                 num_imgs=num_imgs, img_size=img_size, n_iter=n_iter,
                 cache_interval=cache_interval,
                 negative_prompt=negative_prompt, pad_to=pad_to,
+                **solver_kw,
             )
         buf = io.BytesIO()
         img.save(buf, format="JPEG")
@@ -288,10 +328,38 @@ REQUEST_DEFAULTS = {"class_guidance": 6, "seed": 11, "num_imgs": 1,
                     "negative_prompt": None, "init_image": None,
                     "mask": None, "strength": None,
                     "interpolate_to": None, "seed_b": None,
-                    "best_of": None}
+                    "best_of": None, "sampler": None, "schedule": "poly",
+                    "cfg_rescale": 0.0}
 # fields pydantic types as non-Optional: explicit null -> 422, both frontends
 NON_NULLABLE_FIELDS = ("prompt", "class_guidance", "seed", "num_imgs",
-                       "img_size", "n_iter", "cache_interval")
+                       "img_size", "n_iter", "cache_interval", "schedule",
+                       "cfg_rescale")
+
+
+def _validate_solver_fields(payload: dict) -> Optional[str]:
+    """Shared 422-level validation of the solver knobs (sampler /
+    schedule / cfg_rescale) — one function so the two frontends cannot
+    drift. Returns an error detail or None."""
+    sampler = payload.get("sampler")
+    schedule = payload.get("schedule", "poly")
+    cfg_rescale = payload.get("cfg_rescale", 0.0)
+    if sampler is not None and sampler not in ("ddim", "dpm", "heun"):
+        return "sampler must be one of 'ddim', 'dpm', 'heun'"
+    if schedule is not None and schedule not in ("poly", "cosine",
+                                                 "karras"):
+        return "schedule must be one of 'poly', 'cosine', 'karras'"
+    if cfg_rescale is not None and not 0.0 <= cfg_rescale <= 1.0:
+        return "cfg_rescale must be in [0, 1]"
+    non_default = (sampler is not None or (schedule or "poly") != "poly"
+                   or bool(cfg_rescale))
+    if non_default and any(
+            payload.get(k) is not None
+            for k in ("init_image", "best_of", "interpolate_to", "seed_b")):
+        return ("sampler/schedule/cfg_rescale apply to plain "
+                "text-to-image requests only")
+    if sampler == "heun" and payload.get("cache_interval", 1) > 1:
+        return "cache_interval > 1 excludes sampler='heun'"
+    return None
 
 
 def _check_token(auth_header: Optional[str]):
@@ -371,6 +439,10 @@ def create_wsgi_app(cfg: Optional[LTDConfig] = None, service=None):
                     if k in payload and payload[k] is None:
                         return respond(422, json.dumps({
                             "detail": f"{k} must not be null"}).encode())
+                solver_err = _validate_solver_fields(payload)
+                if solver_err:
+                    return respond(
+                        422, json.dumps({"detail": solver_err}).encode())
                 kwargs = {k: payload.get(k, v) for k, v in REQUEST_DEFAULTS.items()}
                 jpeg = svc.generate_jpeg(prompt=payload["prompt"], **kwargs)
                 return respond(200, jpeg, content_type="image/jpeg")
@@ -424,6 +496,13 @@ def create_fastapi_app(cfg: Optional[LTDConfig] = None, service=None):
         # best-of-N CLIP re-ranking: generate best_of candidates, return
         # the top num_imgs (requires best_of >= num_imgs)
         best_of: Optional[int] = None
+        # solver knobs (plain text-to-image requests only): sampler
+        # "ddim"/"dpm"/"heun", noise spacing "poly"/"cosine"/"karras",
+        # guidance-rescale in [0,1] (server snaps it to quarters to
+        # bound compile count)
+        sampler: Optional[str] = None
+        schedule: str = "poly"
+        cfg_rescale: float = 0.0
 
     @app.get("/")
     def read_root():
@@ -460,6 +539,10 @@ def create_fastapi_app(cfg: Optional[LTDConfig] = None, service=None):
         if request.best_of is not None and request.best_of < request.num_imgs:
             raise HTTPException(status_code=422,
                                 detail="best_of must be >= num_imgs")
+        solver_err = _validate_solver_fields(
+            getattr(request, "model_dump", request.dict)())  # pydantic v2/v1
+        if solver_err:
+            raise HTTPException(status_code=422, detail=solver_err)
         try:
             jpeg = svc.generate_jpeg(
                 prompt=request.prompt, class_guidance=request.class_guidance,
@@ -471,6 +554,8 @@ def create_fastapi_app(cfg: Optional[LTDConfig] = None, service=None):
                 strength=request.strength,
                 interpolate_to=request.interpolate_to, seed_b=request.seed_b,
                 best_of=request.best_of,
+                sampler=request.sampler, schedule=request.schedule,
+                cfg_rescale=request.cfg_rescale,
             )
             return StreamingResponse(io.BytesIO(jpeg), media_type="image/jpeg")
         except Exception as e:

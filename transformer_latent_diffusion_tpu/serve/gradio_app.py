@@ -44,7 +44,9 @@ def generate_image_from_text(prompt: str, class_guidance: float = 6,
                              interpolate_to: str = "",
                              seed_b: float = -1,
                              n_frames: int = 4,
-                             best_of: float = 1):
+                             best_of: float = 1,
+                             sampler: str = "default",
+                             cfg_rescale: float = 0.0):
     import requests
     from PIL import Image
 
@@ -74,6 +76,12 @@ def generate_image_from_text(prompt: str, class_guidance: float = 6,
     elif not morph and int(best_of) > 1:
         # best-of-N CLIP re-ranking (plain text-to-image only)
         data["best_of"] = int(best_of)
+    if (init_image is None and not morph and int(best_of) <= 1):
+        # solver knobs (plain text-to-image only, like the server)
+        if sampler and sampler != "default":
+            data["sampler"] = sampler
+        if cfg_rescale:
+            data["cfg_rescale"] = float(cfg_rescale)
 
     response = requests.post(url, json=data, headers=headers)
     if response.status_code == 200:
@@ -104,7 +112,11 @@ def build_interface():
                 gr.Slider(2, 10, value=4, step=1, label="Frames"),
                 gr.Slider(1, 16, value=1, step=1,
                           label="Best of N (CLIP re-ranked candidates; "
-                                "1 = off)")],
+                                "1 = off)"),
+                gr.Dropdown(["default", "ddim", "dpm", "heun"],
+                            value="default", label="Sampler"),
+                gr.Slider(0.0, 1.0, value=0.0, step=0.25,
+                          label="CFG rescale (0 = off)")],
         outputs="image",
         title="Text-to-Image Generator",
         description="Enter a text prompt to generate an image. Optionally "
