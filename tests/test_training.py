@@ -413,3 +413,73 @@ def test_training_smoke_cosine_and_clip(tmp_path):
     result = main(cfg)
     assert result["global_step"] == 4
     assert all(np.isfinite(result["losses"]))
+
+
+def test_multires_loss_matches_resized_params_model():
+    """A non-native-grid batch through build_loss_fn (pos table resized
+    inside the loss) computes EXACTLY the loss of a natively-sized model
+    whose params went through train.highres.upsample_denoiser_params —
+    the two resize paths are the same bilinear map. Also: the master
+    pos table receives gradient from the non-native batch."""
+    from dataclasses import asdict
+
+    from transformer_latent_diffusion_tpu.models import Denoiser
+    from transformer_latent_diffusion_tpu.train.highres import (
+        upsample_denoiser_params,
+    )
+    from transformer_latent_diffusion_tpu.train.train import build_loss_fn
+    from transformer_latent_diffusion_tpu.utils import init_denoiser_params
+
+    cfg16 = DenoiserConfig(image_size=16, embed_dim=64, n_layers=2,
+                           noise_embed_dims=64)
+    model16 = Denoiser(**asdict(cfg16))
+    params = init_denoiser_params(model16, cfg16)
+    tc = TrainConfig()
+    loss16 = build_loss_fn(model16, tc, vae_scale_factor=8)
+
+    rng = jax.random.PRNGKey(3)
+    x8 = jax.random.normal(jax.random.fold_in(rng, 1), (4, 4, 8, 8))
+    y = jax.random.normal(jax.random.fold_in(rng, 2), (4, 768))
+    la = loss16(params, x8, y, rng)
+
+    cfg8 = DenoiserConfig(image_size=8, embed_dim=64, n_layers=2,
+                          noise_embed_dims=64)
+    model8 = Denoiser(**asdict(cfg8))
+    params8 = upsample_denoiser_params(params, 16, 8,
+                                       patch_size=cfg16.patch_size)
+    lb = build_loss_fn(model8, tc, vae_scale_factor=8)(params8, x8, y, rng)
+    np.testing.assert_allclose(np.asarray(la), np.asarray(lb), rtol=1e-6)
+
+    grads = jax.grad(loss16)(params, x8, y, rng)
+    g_pos = np.asarray(grads["denoiser_trans_block"]["pos_embed"])
+    assert np.abs(g_pos).max() > 0  # master table trains from every bucket
+
+
+def test_multires_training_smoke(tmp_path):
+    """Two resolution buckets interleave through train.main: step count
+    covers both datasets, losses stay finite, bad configs raise."""
+    import pytest
+
+    from transformer_latent_diffusion_tpu.train import main
+
+    cfg = _model_cfg(tmp_path)  # 16px main dataset, 64 examples
+    rng = np.random.default_rng(1)
+    lp8 = str(tmp_path / "lat8.npy")
+    ep8 = str(tmp_path / "emb8.npy")
+    np.save(lp8, rng.standard_normal((32, 4, 8, 8)).astype(np.float32))
+    np.save(ep8, rng.standard_normal((32, 768)).astype(np.float32))
+    cfg.data_config.extra_latent_paths = (lp8,)
+    cfg.data_config.extra_text_emb_paths = (ep8,)
+
+    result = main(cfg)
+    # 2 epochs x (64/32 main batches + 32/32 extra batch) = 6 steps
+    assert result["global_step"] == 6
+    assert all(np.isfinite(result["losses"]))
+
+    cfg.data_config.extra_text_emb_paths = ()
+    with pytest.raises(ValueError, match="pair up"):
+        main(cfg)
+    cfg.data_config.extra_text_emb_paths = (ep8,)
+    cfg.train_config.lora_rank = 2
+    with pytest.raises(ValueError, match="multi-resolution"):
+        main(cfg)

@@ -158,11 +158,23 @@ class ClipVisionConfig:
 
 @dataclass
 class DataConfig:
-    """Where the latent data is stored. Parity: reference configs.py:50-55."""
+    """Where the latent data is stored. Parity: reference configs.py:50-55.
+
+    TPU addition — multi-resolution (bucketed) training: each
+    (extra_latent_paths[i], extra_text_emb_paths[i]) pair is a further
+    dataset whose latents may have a DIFFERENT square size than the
+    main one. train.main interleaves whole batches per resolution
+    (static shapes — each bucket compiles its own step once) and maps
+    the learned positional table onto every non-native grid with a
+    differentiable bilinear resize, so all resolutions train the same
+    master table (see train.build_loss_fn / models.denoiser
+    .resize_pos_embed). Empty = reference behavior."""
 
     latent_path: str
     text_emb_path: str
     val_path: str
+    extra_latent_paths: Tuple[str, ...] = ()
+    extra_text_emb_paths: Tuple[str, ...] = ()
 
 
 @dataclass

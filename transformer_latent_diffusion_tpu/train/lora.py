@@ -244,6 +244,10 @@ def lora_finetune(config, init_params: Optional[Any] = None
         if is_main:
             print(*a, flush=True)
 
+    if getattr(config.data_config, "extra_latent_paths", ()):
+        raise ValueError("multi-resolution training (extra_latent_paths) "
+                         "is not supported by the LoRA fine-tune; train "
+                         "full-rank or drop the extra buckets")
     batcher = LatentBatcher(
         config.data_config.latent_path, config.data_config.text_emb_path,
         batch_size=train_config.batch_size, seed=train_config.seed,

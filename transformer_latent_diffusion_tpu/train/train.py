@@ -221,7 +221,16 @@ def build_loss_fn(model: Denoiser, train_cfg, vae_scale_factor,
     interpolation corruption, CFG label dropout, the model forward and
     MSE on the clean latent. Shared by the main train step and the
     LoRA fine-tune step (train/lora.py), which differentiates it with
-    respect to low-rank adapters merged into `params`."""
+    respect to low-rank adapters merged into `params`.
+
+    Multi-resolution batches (DataConfig.extra_latent_paths): when the
+    batch's latent grid differs from the model's native grid, the
+    learned positional table is bilinearly resized onto the batch's
+    grid INSIDE the loss (differentiable — every resolution trains the
+    same master table), matching exactly what
+    train.highres.upsample_denoiser_params bakes into a sampling param
+    tree for that size. The grid is static per compiled step, so the
+    native path is untouched."""
     outpaint = bool(getattr(train_cfg, "outpaint", False))
     # regression target per the model's prediction objective
     # (DenoiserConfig.objective; see sampling.diffusion.prediction_to_x0):
@@ -294,9 +303,30 @@ def build_loss_fn(model: Denoiser, train_cfg, vae_scale_factor,
                       [:, None, None], 0.0, m.astype(x.dtype))
         return m[:, None, :, :] * x
 
+    native_grid = model.image_size // model.patch_size
+
+    def _pos_override(params, x):
+        """None on the native grid; a bilinear resize of the master
+        positional table for any other (static) grid."""
+        grid = x.shape[-1] // model.patch_size
+        if grid == native_grid:
+            return None
+        if pipeline_fn is not None:
+            raise ValueError(
+                "multi-resolution batches do not compose with pipeline "
+                "parallelism (the staged forward has no pos-embed "
+                "override path)")
+        from transformer_latent_diffusion_tpu.models.denoiser import (
+            resize_pos_embed,
+        )
+
+        table = params["denoiser_trans_block"]["pos_embed"]
+        return resize_pos_embed(table, native_grid, grid)
+
     def loss_fn(params, x, y, rng):
         r_beta, r_noise, r_drop, r_dropout, r_ctx = jax.random.split(rng, 5)
         n = x.shape[0]
+        pos_override = _pos_override(params, x)
         x = x / vae_scale_factor
         noise_level = sample_beta(
             r_beta, train_cfg.beta_a, train_cfg.beta_b, (n, 1)
@@ -336,6 +366,7 @@ def build_loss_fn(model: Denoiser, train_cfg, vae_scale_factor,
                 {"params": params}, x_noisy, noise_level, label,
                 deterministic=model.dropout == 0,
                 rngs=None if model.dropout == 0 else {"dropout": r_dropout},
+                pos_embed_override=pos_override,
                 mutable=["losses"],
             )
             aux = sum(jnp.sum(jnp.asarray(v))
@@ -347,6 +378,7 @@ def build_loss_fn(model: Denoiser, train_cfg, vae_scale_factor,
                 {"params": params}, x_noisy, noise_level, label,
                 deterministic=model.dropout == 0,
                 rngs=None if model.dropout == 0 else {"dropout": r_dropout},
+                pos_embed_override=pos_override,
             )
         return _weighted_mse(pred, target, noise_level)
 
@@ -439,6 +471,23 @@ def _build_train_step(model: Denoiser, optimizer, train_cfg, vae_scale_factor,
     return train_step
 
 
+def _interleave_epochs(batchers):
+    """Round-robin whole batches across resolution buckets until every
+    bucket's epoch is exhausted (each batch keeps its own static shape,
+    so each bucket hits its own compiled step). One batcher degenerates
+    to its plain epoch order."""
+    iters = [b.epoch() for b in batchers]
+    while iters:
+        alive = []
+        for it in iters:
+            try:
+                yield next(it)
+            except StopIteration:
+                continue
+            alive.append(it)
+        iters = alive
+
+
 def main(config: ModelConfig, init_params: Optional[Any] = None) -> Dict[str, Any]:
     """Main train loop. Parity: reference train.py:62-176.
 
@@ -487,6 +536,23 @@ def main(config: ModelConfig, init_params: Optional[Any] = None) -> Dict[str, An
         batch_size=train_config.batch_size, seed=train_config.seed,
         holdout=train_config.val_holdout,
     )
+    # multi-resolution buckets (DataConfig.extra_latent_paths): one
+    # batcher per extra dataset; whole batches interleave round-robin so
+    # every batch keeps a static shape (one compiled step per bucket)
+    extra_lat = tuple(getattr(dataconfig, "extra_latent_paths", ()) or ())
+    extra_emb = tuple(getattr(dataconfig, "extra_text_emb_paths", ()) or ())
+    if len(extra_lat) != len(extra_emb):
+        raise ValueError(
+            f"extra_latent_paths ({len(extra_lat)}) and "
+            f"extra_text_emb_paths ({len(extra_emb)}) must pair up")
+    batchers = [batcher] + [
+        LatentBatcher(lp, ep, batch_size=train_config.batch_size,
+                      seed=train_config.seed + 1 + i)
+        for i, (lp, ep) in enumerate(zip(extra_lat, extra_emb))]
+    if extra_lat and train_config.pipeline_parallel:
+        raise ValueError("multi-resolution training does not compose with "
+                         "pipeline_parallel (no pos-embed override path "
+                         "through the staged forward)")
     emb_val = np.load(dataconfig.val_path).astype(np.float32)
 
     # VAE is only needed for eval decode; build lazily on first eval
@@ -533,8 +599,13 @@ def main(config: ModelConfig, init_params: Optional[Any] = None) -> Dict[str, An
             f"step would feed the model {denoiser_config.n_channels}"
             f"-channel latents")
     n_tokens = (denoiser_config.image_size // denoiser_config.patch_size) ** 2
+    # remat auto-decision covers the LARGEST resolution in the run (the
+    # per-block fused/flash gates below are per-input-shape already)
+    max_tokens = max([n_tokens] + [
+        (b.latents.shape[-1] // denoiser_config.patch_size) ** 2
+        for b in batchers[1:]])
     remat = (train_config.remat if train_config.remat is not None
-             else n_tokens >= 2048)
+             else max_tokens >= 2048)
     tp_size = mesh.shape["model"]
     # pipeline parallelism claims the 'model' axis for stages — it
     # replaces TP/sequence-parallel on that axis
@@ -733,7 +804,7 @@ def main(config: ModelConfig, init_params: Optional[Any] = None) -> Dict[str, An
         if shutdown.requested:
             break
         log(f"epoch: {epoch}")
-        for x_host, y_host in batcher.epoch():
+        for x_host, y_host in _interleave_epochs(batchers):
             if shutdown.requested:
                 break
             x = jax.device_put(x_host, b_shard)
