@@ -454,3 +454,24 @@ def test_serve_config_env_builds_the_service(tmp_path, monkeypatch):
         headers={"Authorization": "Bearer test-token"})
     assert r["status"] == 200
     assert r["body"][:3] == b"\xff\xd8\xff"
+
+
+def test_serve_warmup_precompiles():
+    """warmup=True pre-compiles the default request's scan in a
+    background thread: /healthz says 'warming' until it lands, then the
+    sampler cache is populated and counters are untouched."""
+    from tests.test_diffusion import tiny_ltd_config
+    from transformer_latent_diffusion_tpu.sampling import (
+        DiffusionTransformer,
+    )
+    from transformer_latent_diffusion_tpu.serve.app import GenerationService
+
+    svc = GenerationService(transformer=DiffusionTransformer(
+        tiny_ltd_config()), warmup=True, microbatch=None)
+    assert svc._warmup_thread is not None
+    svc._warmup_thread.join(timeout=300)
+    assert not svc._warmup_thread.is_alive()
+    h = svc.health()
+    assert h["status"] == "ok"
+    assert h["requests"] == 0  # warmup must not count as traffic
+    assert len(svc.transformer.diffuser._compiled) > 0

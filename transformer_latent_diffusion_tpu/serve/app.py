@@ -80,7 +80,8 @@ class GenerationService:
     def __init__(self, cfg: Optional[LTDConfig] = None, transformer=None,
                  microbatch: Optional[int] = None, max_wait_ms: float = 25.0,
                  request_timeout_s: Optional[float] = None,
-                 num_imgs_buckets=_ENV_DEFAULT, n_iter_buckets=_ENV_DEFAULT):
+                 num_imgs_buckets=_ENV_DEFAULT, n_iter_buckets=_ENV_DEFAULT,
+                 warmup=_ENV_DEFAULT):
         from transformer_latent_diffusion_tpu.sampling import DiffusionTransformer
 
         self.transformer = transformer or DiffusionTransformer(cfg or LTDConfig())
@@ -133,6 +134,27 @@ class GenerationService:
         except Exception as e:
             self._device_info = {
                 "backend_error": f"{type(e).__name__}: {e}"}
+        # startup warmup (SERVE_WARMUP=1 or warmup=True): pre-compile the
+        # default request's scan in a daemon thread so the FIRST real
+        # request doesn't eat a multi-second (tunneled: multi-MINUTE)
+        # cold compile. The server accepts requests immediately; /healthz
+        # reports "warming" until the compile lands.
+        self._warmup_thread = None
+        if warmup is _ENV_DEFAULT:
+            warmup = os.getenv("SERVE_WARMUP", "") not in ("", "0")
+        if warmup:
+            def _warm():
+                try:
+                    # _generate_jpeg, not generate_jpeg: the warmup must
+                    # not inflate the /healthz request counters
+                    self._generate_jpeg("warmup", num_imgs=1)
+                except Exception as e:  # never kill the server over it
+                    print(f"serve warmup failed: {type(e).__name__}: {e}",
+                          flush=True)
+
+            self._warmup_thread = threading.Thread(
+                target=_warm, name="serve-warmup", daemon=True)
+            self._warmup_thread.start()
 
     def health(self) -> dict:
         """Liveness/readiness payload for the (unauthenticated) /healthz
@@ -140,6 +162,9 @@ class GenerationService:
         a live backend query, see __init__), batching mode, request
         counters. Beyond-reference production observability."""
         info = {"status": ("degraded" if "backend_error" in self._device_info
+                           else "warming"
+                           if (self._warmup_thread is not None
+                               and self._warmup_thread.is_alive())
                            else "ok"),
                 "microbatch": bool(self.batcher)}
         info.update(self._device_info)
