@@ -483,3 +483,44 @@ def test_multires_training_smoke(tmp_path):
     cfg.train_config.lora_rank = 2
     with pytest.raises(ValueError, match="multi-resolution"):
         main(cfg)
+
+
+def test_checkpoint_averaging(tmp_path):
+    """average_params: weighted f32 math, dtype restore, non-float
+    leaves pass through; average_checkpoints soups the last-k orbax
+    saves of a run directory."""
+    import pytest
+
+    from transformer_latent_diffusion_tpu.train import (
+        CheckpointManager,
+        average_checkpoints,
+        average_params,
+    )
+
+    t1 = {"w": np.ones(4, np.float32),
+          "b": np.asarray(jnp.full(2, 2.0, jnp.bfloat16)),
+          "step": np.asarray(7)}
+    t2 = {"w": np.full(4, 3.0, np.float32),
+          "b": np.asarray(jnp.full(2, 4.0, jnp.bfloat16)),
+          "step": np.asarray(9)}
+    avg = average_params([t1, t2])
+    np.testing.assert_allclose(avg["w"], 2.0)
+    assert avg["b"].dtype == np.asarray(t1["b"]).dtype
+    np.testing.assert_allclose(np.asarray(avg["b"], np.float32), 3.0)
+    assert int(avg["step"]) == 7  # non-float: first tree wins
+
+    w = average_params([t1, t2], weights=[3.0, 1.0])
+    np.testing.assert_allclose(w["w"], 1.5)
+    with pytest.raises(ValueError):
+        average_params([])
+    with pytest.raises(ValueError):
+        average_params([t1, t2], weights=[1.0])
+
+    mgr = CheckpointManager(str(tmp_path / "run"))
+    for step, scale in ((1, 1.0), (2, 2.0), (3, 6.0)):
+        mgr.save(step, {"ema_params": {"w": jnp.full(4, scale)},
+                        "params": {"w": jnp.full(4, scale)},
+                        "opt_state": {}, "step": step})
+    soup, steps = average_checkpoints(str(tmp_path / "run"), last_k=2)
+    assert steps == [2, 3]
+    np.testing.assert_allclose(soup["w"], 4.0)

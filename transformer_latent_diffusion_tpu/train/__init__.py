@@ -1,5 +1,7 @@
 from transformer_latent_diffusion_tpu.train.checkpoint import (  # noqa: F401
     CheckpointManager,
+    average_checkpoints,
+    average_params,
     save_npz,
     unflatten_npz,
 )

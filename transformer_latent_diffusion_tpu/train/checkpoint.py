@@ -87,3 +87,50 @@ class CheckpointManager:
 
     def latest_step(self) -> Optional[int]:
         return self.manager.latest_step()
+
+
+def average_params(trees, weights=None):
+    """Uniform (or weighted) average of param trees — "model soup"
+    (Wortsmann et al. 2022) / late-checkpoint averaging. All trees must
+    share one structure; floating leaves average in f32 and are cast
+    back to the first tree's leaf dtype, non-floating leaves (step
+    counters etc.) are taken from the FIRST tree unchanged."""
+    trees = list(trees)
+    if not trees:
+        raise ValueError("average_params needs at least one tree")
+    if weights is None:
+        weights = [1.0 / len(trees)] * len(trees)
+    weights = [float(w) for w in weights]
+    if len(weights) != len(trees):
+        raise ValueError(f"{len(weights)} weights for {len(trees)} trees")
+    total = sum(weights)
+    if not total > 0:
+        raise ValueError(f"weights must sum to > 0, got {total}")
+    weights = [w / total for w in weights]
+
+    def _avg(*leaves):
+        first = leaves[0]
+        if not jax.numpy.issubdtype(np.asarray(first).dtype, np.floating):
+            return first
+        acc = sum(w * np.asarray(leaf, np.float32)
+                  for w, leaf in zip(weights, leaves))
+        return acc.astype(np.asarray(first).dtype)
+
+    return jax.tree.map(_avg, *trees)
+
+
+def average_checkpoints(run_dir: str, last_k: int = 3,
+                        key: str = "ema_params"):
+    """Average the `key` trees of the last_k orbax checkpoints under
+    run_dir (a train.main run directory). Returns (tree, steps_used).
+    Checkpoint averaging is the classic free final-quality bump on top
+    of EMA — the soup of the last few saves evaluates better than the
+    last save alone on noisy objectives."""
+    import orbax.checkpoint as ocp  # noqa: F401  (import check)
+
+    mgr = CheckpointManager(run_dir)
+    steps = sorted(mgr.manager.all_steps())[-last_k:]
+    if not steps:
+        raise ValueError(f"no checkpoints under {run_dir}")
+    trees = [mgr.restore(step=s)[key] for s in steps]
+    return average_params(trees), steps
