@@ -59,7 +59,7 @@ class _ConstX0Model:
     use_pallas = False
     image_size = 8
 
-    def apply(self, variables, x, noises, labels):
+    def apply(self, variables, x, noises, labels, pos_embed_override=None):
         x0 = variables["params"]["x0"]
         return jnp.broadcast_to(x0[None], x.shape)
 
@@ -83,7 +83,7 @@ class _AffineX0Model(_ConstX0Model):
     flow — the cleanest testbed for convergence order (a random-weight
     denoiser's ODE is chaotic and defeats order measurements)."""
 
-    def apply(self, variables, x, noises, labels):
+    def apply(self, variables, x, noises, labels, pos_embed_override=None):
         b = variables["params"]["x0"]
         return 0.5 * x + jnp.broadcast_to(b[None], x.shape)
 
@@ -193,3 +193,51 @@ def test_sampler_validation_errors():
         gen.generate(sampler="heun", fresh_noise=True, **kw)
     with pytest.raises(ValueError, match="block caching"):
         gen.generate(sampler="heun", cache_interval=2, **kw)
+
+
+def test_nonnative_sampling_matches_resized_params():
+    """Sampling a non-native img_size resizes the pos table inside the
+    sampler (DiffusionGenerator.pos_resize default) and must equal a
+    natively-sized model running upsample_denoiser_params weights — the
+    identical bilinear map multi-resolution TRAINING applies, so a
+    multires model samples its trained sizes consistently.
+    pos_resize=False keeps the legacy reference slice semantics."""
+    from dataclasses import asdict, replace
+
+    from transformer_latent_diffusion_tpu.models import Denoiser
+    from transformer_latent_diffusion_tpu.train.highres import (
+        upsample_denoiser_params,
+    )
+    from transformer_latent_diffusion_tpu.utils import init_denoiser_params
+
+    cfg16 = DenoiserConfig(image_size=16, embed_dim=64, n_layers=2,
+                           noise_embed_dims=64)
+    model16 = Denoiser(**asdict(cfg16))
+    params = init_denoiser_params(model16, cfg16)
+    gen16 = DiffusionGenerator(model=model16, params=params, vae=None)
+    labels = jnp.ones((2, 768))
+    kw = dict(labels=labels, num_imgs=2, n_iter=4, seed=7, sharp_f=0,
+              bright_f=0)
+
+    _, lat_a = gen16.generate(img_size=8, **kw)
+    assert lat_a.shape == (2, 4, 8, 8)
+
+    cfg8 = replace(cfg16, image_size=8)
+    params8 = upsample_denoiser_params(params, 16, 8,
+                                       patch_size=cfg16.patch_size)
+    gen8 = DiffusionGenerator(model=Denoiser(**asdict(cfg8)),
+                              params=params8, vae=None)
+    _, lat_b = gen8.generate(img_size=8, **kw)
+    np.testing.assert_allclose(np.asarray(lat_a), np.asarray(lat_b),
+                               rtol=2e-5, atol=2e-5)
+
+    # LARGER than native also works without params surgery now
+    _, lat_up = gen16.generate(img_size=32, **kw)
+    assert lat_up.shape == (2, 4, 32, 32)
+    assert np.isfinite(np.asarray(lat_up)).all()
+
+    # legacy slice semantics stay reachable and differ from the resize
+    gen_slice = DiffusionGenerator(model=model16, params=params, vae=None,
+                                   pos_resize=False)
+    _, lat_c = gen_slice.generate(img_size=8, **kw)
+    assert np.abs(np.asarray(lat_c) - np.asarray(lat_a)).max() > 1e-5

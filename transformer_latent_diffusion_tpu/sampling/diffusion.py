@@ -215,6 +215,16 @@ class DiffusionGenerator:
     # (prediction_to_x0), so every sampler variant — DDIM, DPM++,
     # masked, cached, fresh-noise — runs unchanged on any objective.
     prediction_type: Any = None
+    # positional-table handling when img_size's grid differs from the
+    # model's native grid. None (default) = bilinear-resize the learned
+    # table onto the sampled grid (hoisted out of the scan) — the exact
+    # map multi-resolution TRAINING uses (train.build_loss_fn) and that
+    # upsample_denoiser_params bakes into a params tree, so a
+    # multires-trained model samples every trained size consistently
+    # (and sizes LARGER than native work without params surgery).
+    # False = the legacy first-h*w-rows slice (reference
+    # denoiser.py:76 semantics; smaller-than-native only).
+    pos_resize: Any = None
     _compiled: Dict[Any, Any] = field(default_factory=dict, repr=False)
 
     def _sample_fn(self, n_steps: int, shape: Tuple[int, ...],
@@ -228,7 +238,8 @@ class DiffusionGenerator:
         of the cache key) so the default path keeps the exact reference
         combine with zero added ops in the hot scan body."""
         key = (n_steps, shape, cache_interval, masked, ctx_channels,
-               fresh_noise, cfg_rescale, guidance_interval, heun)
+               fresh_noise, cfg_rescale, guidance_interval, heun,
+               self.pos_resize is False)
         if key in self._compiled:
             return self._compiled[key]
 
@@ -255,11 +266,30 @@ class DiffusionGenerator:
         # the measured-good regime. Mesh-sharded generation always takes
         # the XLA path (partitionable by GSPMD).
         hw = shape[-1] // getattr(model, "patch_size", 1)
+        # non-native grid: resize the learned pos table onto the sampled
+        # grid (see pos_resize field). Computed from params ONCE per
+        # call, outside the scan.
+        native_grid = None
+        patch = getattr(model, "patch_size", 1)
+        if hasattr(model, "image_size"):
+            native_grid = model.image_size // patch
+        grid = shape[-1] // patch
+        resize_grid = (grid if (self.pos_resize is not False
+                                and native_grid is not None
+                                and grid != native_grid) else None)
+        if resize_grid is not None and pipeline_fn is not None:
+            raise ValueError(
+                "non-native sampling sizes do not compose with pipeline "
+                "parallelism (no pos-embed override path through the "
+                "staged forward); pass pos_resize=False or resize params "
+                "with train.highres.upsample_denoiser_params")
         # the fused engine's packed weights assume the plain n_channels
         # patchify width — widened-input (outpainting) models take the
-        # linen path
+        # linen path; its packed pos table likewise assumes the native
+        # grid, so resized-grid sampling takes the linen path too
         use_fast = (fast_apply is not None and hw <= 16
-                    and self.mesh is None and ctx_channels == 0)
+                    and self.mesh is None and ctx_channels == 0
+                    and resize_grid is None)
 
         pred_kind = self.prediction_type
         if pred_kind is None and use_fast:
@@ -279,8 +309,20 @@ class DiffusionGenerator:
                                cfg_rescale=cfg_rescale,
                                guidance_interval=guidance_interval)
 
+        def _pos_override(params):
+            """Resized pos table for non-native grids (once per call,
+            outside the scan); None on the native grid."""
+            if resize_grid is None:
+                return None
+            from transformer_latent_diffusion_tpu.models.denoiser import (
+                resize_pos_embed,
+            )
+
+            table = params["denoiser_trans_block"]["pos_embed"]
+            return resize_pos_embed(table, native_grid, resize_grid)
+
         def pred_x0(prepared, x_t, labels_cat, noise_level, class_guidance,
-                    context=None):
+                    context=None, pos_override=None):
             """Double-batch CFG denoiser call (reference diffusion.py:94-103).
 
             context: extra input channels for a widened (outpainting)
@@ -299,7 +341,12 @@ class DiffusionGenerator:
                 # GPipe-staged forward over the mesh 'model' axis
                 x0 = pipeline_fn(prepared, x2, noises, labels_cat)
             else:
-                x0 = model.apply({"params": prepared}, x2, noises, labels_cat)
+                # kwarg only when set: custom model objects with the
+                # plain apply signature keep working on the native grid
+                x0 = model.apply(
+                    {"params": prepared}, x2, noises, labels_cat,
+                    **({} if pos_override is None
+                       else {"pos_embed_override": pos_override}))
             out = _cfg_combine(x0[:num], x0[num:], class_guidance,
                                noise_level)
             # affine-in-prediction conversion commutes with CFG, so one
@@ -332,6 +379,7 @@ class DiffusionGenerator:
         def run(params, x_init, labels_cat, noise_levels, c1, c2,
                 class_guidance, context=None, noise_key=None):
             prepared = prepare(params)
+            pos = _pos_override(params)
 
             def step(carry, inputs):
                 x_t, x0_prev = carry
@@ -340,7 +388,7 @@ class DiffusionGenerator:
                 else:
                     curr, nxt, a, b = inputs
                 x0 = pred_x0(prepared, x_t, labels_cat, curr, class_guidance,
-                             context)
+                             context, pos)
                 d = a * x0 + b * x0_prev
                 if fresh_noise:
                     # consistency-style multistep: re-noise the x0
@@ -364,11 +412,11 @@ class DiffusionGenerator:
                 x_t, _ = carry
                 curr, nxt, a, b = inputs
                 x0_a = pred_x0(prepared, x_t, labels_cat, curr,
-                               class_guidance, context)
+                               class_guidance, context, pos)
                 k1 = (x_t - x0_a) / curr
                 x_e = x_t + (nxt - curr) * k1
                 x0_b = pred_x0(prepared, x_e, labels_cat, nxt,
-                               class_guidance, context)
+                               class_guidance, context, pos)
                 k2 = (x_e - x0_b) / nxt
                 x_t = x_t + (nxt - curr) * 0.5 * (k1 + k2)
                 return (x_t, x0_a), None
@@ -411,7 +459,7 @@ class DiffusionGenerator:
                 )
             # final extra denoise at the last level (reference diffusion.py:85)
             x0 = pred_x0(prepared, x_t, labels_cat, noise_levels[-1],
-                         class_guidance, context)
+                         class_guidance, context, pos)
             return x0
 
         @jax.jit
@@ -423,12 +471,13 @@ class DiffusionGenerator:
             step's target noise level, so the model only ever sees a
             consistent keep region while it fills the mask=1 region."""
             prepared = prepare(params)
+            pos = _pos_override(params)
 
             def step(carry, inputs):
                 x_t, x0_prev = carry
                 curr, nxt, a, b = inputs
                 x0 = pred_x0(prepared, x_t, labels_cat, curr, class_guidance,
-                             context)
+                             context, pos)
                 d = a * x0 + b * x0_prev
                 x_t = ((curr - nxt) * d + nxt * x_t) / curr
                 x_keep = nxt * eps + (1.0 - nxt) * init
@@ -439,7 +488,7 @@ class DiffusionGenerator:
             (x_t, _), _ = jax.lax.scan(
                 step, (x_init, jnp.zeros_like(x_init)), xs, length=n_steps)
             x0 = pred_x0(prepared, x_t, labels_cat, noise_levels[-1],
-                         class_guidance, context)
+                         class_guidance, context, pos)
             return mask * x0 + (1.0 - mask) * init
 
         self._compiled[key] = run_masked if masked else run

@@ -303,12 +303,18 @@ def build_loss_fn(model: Denoiser, train_cfg, vae_scale_factor,
                       [:, None, None], 0.0, m.astype(x.dtype))
         return m[:, None, :, :] * x
 
-    native_grid = model.image_size // model.patch_size
+    # stub/wrapper models without the size attributes always take the
+    # native path (no multires for them)
+    _patch = getattr(model, "patch_size", None)
+    native_grid = (model.image_size // _patch
+                   if _patch and hasattr(model, "image_size") else None)
 
     def _pos_override(params, x):
         """None on the native grid; a bilinear resize of the master
         positional table for any other (static) grid."""
-        grid = x.shape[-1] // model.patch_size
+        if native_grid is None:
+            return None
+        grid = x.shape[-1] // _patch
         if grid == native_grid:
             return None
         if pipeline_fn is not None:
@@ -327,6 +333,10 @@ def build_loss_fn(model: Denoiser, train_cfg, vae_scale_factor,
         r_beta, r_noise, r_drop, r_dropout, r_ctx = jax.random.split(rng, 5)
         n = x.shape[0]
         pos_override = _pos_override(params, x)
+        # kwarg only when set: stub/wrapper models with the plain apply
+        # signature keep working on the native grid
+        pos_kw = ({} if pos_override is None
+                  else {"pos_embed_override": pos_override})
         x = x / vae_scale_factor
         noise_level = sample_beta(
             r_beta, train_cfg.beta_a, train_cfg.beta_b, (n, 1)
@@ -366,8 +376,8 @@ def build_loss_fn(model: Denoiser, train_cfg, vae_scale_factor,
                 {"params": params}, x_noisy, noise_level, label,
                 deterministic=model.dropout == 0,
                 rngs=None if model.dropout == 0 else {"dropout": r_dropout},
-                pos_embed_override=pos_override,
                 mutable=["losses"],
+                **pos_kw,
             )
             aux = sum(jnp.sum(jnp.asarray(v))
                       for v in jax.tree.leaves(mut.get("losses", {})))
@@ -378,7 +388,7 @@ def build_loss_fn(model: Denoiser, train_cfg, vae_scale_factor,
                 {"params": params}, x_noisy, noise_level, label,
                 deterministic=model.dropout == 0,
                 rngs=None if model.dropout == 0 else {"dropout": r_dropout},
-                pos_embed_override=pos_override,
+                **pos_kw,
             )
         return _weighted_mse(pred, target, noise_level)
 
