@@ -219,11 +219,10 @@ class GenerationService:
         # quarters so a client sweeping values can force at most 5
         # compiled variants per (num_imgs, n_iter) pair
         cfg_rescale = round(cfg_rescale * 4) / 4.0
-        # non-default solver knobs change the compiled scan per-request,
-        # which the micro-batcher's shared batch cannot honor — route
-        # those requests solo (sampler/schedule/cfg_rescale also do not
-        # reach the img2img/interpolation/best-of specialty paths, which
-        # keep reference solver semantics)
+        # solver knobs are part of the micro-batcher's grouping key, so
+        # only requests sharing a compiled scan coalesce (sampler/
+        # schedule/cfg_rescale do not reach the img2img/interpolation/
+        # best-of specialty paths, which keep reference solver semantics)
         solver_kw = {}
         if sampler is not None:
             solver_kw["sampler"] = sampler
@@ -323,13 +322,16 @@ class GenerationService:
                 n_iter=n_iter, negative_prompt=negative_prompt,
             )
         elif (self.batcher is not None and cache_interval == 1
-                and not solver_kw
                 and num_imgs <= self.batcher.max_batch):
+            # solver knobs ride along: the batcher groups by
+            # (n_iter, sampler, schedule, cfg_rescale), so only requests
+            # sharing a compiled scan coalesce
             img = self.batcher.generate(
                 prompt=prompt, class_guidance=class_guidance, seed=seed,
                 num_imgs=num_imgs, img_size=img_size, n_iter=n_iter,
                 negative_prompt=negative_prompt,
                 timeout=self.request_timeout_s,
+                **solver_kw,
             )
         else:
             img = self.transformer.generate_image_from_text(

@@ -9,8 +9,9 @@ requests into one scan call.
 Design:
   * requests enqueue (prompt, guidance, seed, num_imgs, n_iter) and block
     on an event; a single worker thread drains the queue;
-  * each cycle groups requests by n_iter (the only knob that changes the
-    compiled scan's math), packs up to `max_batch` images, and pads the
+  * each cycle groups requests by the solver key (n_iter, sampler,
+    schedule, cfg_rescale) — the knobs that change the compiled scan's
+    math — packs up to `max_batch` images, and pads the
     batch up to a fixed BUCKET size so XLA compiles one program per
     bucket instead of one per batch size;
   * per-request seeding is preserved: each request's initial noise is
@@ -50,6 +51,11 @@ class _Request:
     num_imgs: int
     n_iter: int
     negative_prompt: Optional[str] = None
+    # solver knobs (sampler/schedule change the scan body/levels,
+    # cfg_rescale is a compile-time constant): part of the grouping key
+    sampler: Optional[str] = None
+    schedule: str = "poly"
+    cfg_rescale: float = 0.0
     done: threading.Event = field(default_factory=threading.Event)
     cancelled: threading.Event = field(default_factory=threading.Event)
     result: Any = None
@@ -98,7 +104,9 @@ class MicroBatcher:
     def generate(self, prompt: str, class_guidance: float = 6,
                  seed: int = 11, num_imgs: int = 1, img_size: int = 32,
                  n_iter: int = 15, timeout: Optional[float] = None,
-                 negative_prompt: Optional[str] = None):
+                 negative_prompt: Optional[str] = None,
+                 sampler: Optional[str] = None, schedule: str = "poly",
+                 cfg_rescale: float = 0.0):
         """Blocking generate; returns the same PIL grid as
         `DiffusionTransformer.generate_image_from_text` (img_size is
         accepted-but-unused exactly like the reference API). Requests
@@ -110,7 +118,9 @@ class MicroBatcher:
                 f"num_imgs={num_imgs} must be in [1, {self.max_batch}]")
         req = _Request(prompt=prompt, class_guidance=float(class_guidance),
                        seed=int(seed), num_imgs=num_imgs,
-                       n_iter=int(n_iter), negative_prompt=negative_prompt)
+                       n_iter=int(n_iter), negative_prompt=negative_prompt,
+                       sampler=sampler, schedule=str(schedule),
+                       cfg_rescale=float(cfg_rescale))
         with self._lock:
             if self._closed:
                 raise RuntimeError("MicroBatcher is closed")
@@ -180,14 +190,17 @@ class MicroBatcher:
                     break
                 batch.append(nxt)
                 n_imgs += nxt.num_imgs
-            # group by n_iter — different step counts need different scans
-            by_iter = {}
+            # group by the solver key — step count / sampler / schedule /
+            # cfg_rescale each select a different scan (or levels array);
+            # everything else (prompts, seeds, guidance) batches freely
+            by_key = {}
             for r in batch:
                 if not r.cancelled.is_set():
-                    by_iter.setdefault(r.n_iter, []).append(r)
-            for n_iter, reqs in by_iter.items():
+                    key = (r.n_iter, r.sampler, r.schedule, r.cfg_rescale)
+                    by_key.setdefault(key, []).append(r)
+            for key, reqs in by_key.items():
                 try:
-                    self._serve_group(reqs, n_iter)
+                    self._serve_group(reqs, *key)
                 except BaseException as e:
                     # fail only the still-waiting requests — some may
                     # already hold a valid result from this group
@@ -202,7 +215,9 @@ class MicroBatcher:
                 return b
         return self.buckets[-1]
 
-    def _serve_group(self, reqs: List[_Request], n_iter: int):
+    def _serve_group(self, reqs: List[_Request], n_iter: int,
+                     sampler: Optional[str] = None, schedule: str = "poly",
+                     cfg_rescale: float = 0.0):
         tr = self.transformer
         model = tr.diffuser.model
         c, s = model.n_channels, model.image_size
@@ -283,6 +298,9 @@ class MicroBatcher:
             output="uint8",
             negative_labels=(None if negatives is None
                              else jnp.asarray(negatives)),
+            sampler=sampler,
+            schedule=schedule,
+            cfg_rescale=cfg_rescale,
         )
         out = np.asarray(out)
 
