@@ -315,11 +315,64 @@ def test_generate_image_solver_knobs(client):
                 {"sampler": "heun", "cache_interval": 2},
                 {"sampler": "heun", "best_of": 2},
                 {"cfg_rescale": 0.5, "seed_b": 3},
-                {"schedule": "karras", "init_image": "aGk="}):
+                {"schedule": "karras", "init_image": "aGk="},
+                # wrong-typed solver fields must 422 identically on both
+                # frontends (previously a TypeError made the WSGI twin
+                # 500 where pydantic 422'd — ADVICE r3)
+                {"cfg_rescale": "abc"}, {"sampler": 5}, {"schedule": 7}):
         r = client.post_json("/generate-image/",
                              {"prompt": "x", "n_iter": 4, **bad},
                              headers=auth)
         assert r["status"] == 422, (bad, r)
+
+    # numeric-string cfg_rescale coerces like pydantic's lax mode does
+    r = client.post_json(
+        "/generate-image/",
+        {"prompt": "a cute cat", "n_iter": 4, "cfg_rescale": "0.5"},
+        headers=auth)
+    assert r["status"] == 200, r
+
+
+@pytest.mark.parametrize("frontend", ["wsgi", "fastapi"])
+def test_effective_n_iter_header(frontend):
+    """n_iter bucketing is visible to clients: when the served step
+    count differs from the requested one (snapped up, or capped at the
+    largest bucket) the response carries X-Effective-N-Iter (ADVICE r3).
+    Exact-bucket requests stay header-free."""
+    os.environ.setdefault("API_TOKEN", "test-token")
+    from tests.test_diffusion import tiny_ltd_config
+    from transformer_latent_diffusion_tpu.sampling import (
+        DiffusionTransformer,
+    )
+    from transformer_latent_diffusion_tpu.serve.app import GenerationService
+
+    dt = DiffusionTransformer(tiny_ltd_config())
+    svc = GenerationService(transformer=dt, num_imgs_buckets=(1,),
+                            n_iter_buckets=(3, 5))
+    if frontend == "fastapi":
+        pytest.importorskip("fastapi")
+        from transformer_latent_diffusion_tpu.serve.app import (
+            create_fastapi_app,
+        )
+
+        cl = AsgiClient(create_fastapi_app(service=svc))
+    else:
+        cl = WsgiClient(create_wsgi_app(service=svc))
+    auth = {"Authorization": f"Bearer {os.environ['API_TOKEN']}"}
+
+    r = cl.post_json("/generate-image/",
+                     {"prompt": "cat", "n_iter": 99}, headers=auth)
+    assert r["status"] == 200, r
+    assert r["headers"]["X-Effective-N-Iter"] == "5"  # capped at largest
+
+    r = cl.post_json("/generate-image/",
+                     {"prompt": "cat", "n_iter": 4}, headers=auth)
+    assert r["headers"]["X-Effective-N-Iter"] == "5"  # snapped up
+
+    r = cl.post_json("/generate-image/",
+                     {"prompt": "cat", "n_iter": 3}, headers=auth)
+    assert r["status"] == 200
+    assert "X-Effective-N-Iter" not in r["headers"]  # exact bucket
 
 
 def test_serving_compile_count_is_bounded():

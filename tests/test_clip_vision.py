@@ -142,6 +142,13 @@ def test_preprocess_images_shapes_and_range():
     out_pil = preprocess_images([pil], image_size=32)
     assert out_pil.shape == (1, 32, 32, 3)
 
+    # float [-1,1] (the VAE's native range) rescales to [0,1] instead of
+    # being clipped at 0 (ADVICE r3): identical features either way
+    x01 = rng.random((2, 32, 32, 3)).astype(np.float32)
+    a = preprocess_images(x01, image_size=32)
+    b = preprocess_images(x01 * 2.0 - 1.0, image_size=32)
+    np.testing.assert_allclose(a, b, atol=1e-5)
+
 
 def test_clip_image_features_ragged_batches():
     from transformer_latent_diffusion_tpu.utils.clip_eval import (

@@ -46,6 +46,11 @@ def test_noise_schedule_kinds():
     assert np.median(c) > np.median(p)
     with pytest.raises(ValueError):
         make_noise_levels(16, kind="quadratic")
+    # n_iter=1 (one-step consistency regime) is reachable for every
+    # kind; karras used to divide by zero there (ADVICE r3)
+    for kind in ("poly", "cosine", "karras"):
+        lv = make_noise_levels(1, kind=kind)
+        assert lv.shape == (1,) and lv[0] == 0.99, kind
 
 
 class _ConstX0Model:

@@ -198,6 +198,11 @@ def preprocess_images(images, image_size: int = 224) -> np.ndarray:
     x = images.astype(np.float32)
     if np.issubdtype(images.dtype, np.integer) or x.max() > 1.5:
         x = x / 255.0
+    elif x.min() < -0.01:
+        # float inputs in [-1, 1] (the VAE's native range) would be
+        # silently clipped at 0 below, corrupting CLIP features/FID —
+        # rescale to [0, 1] instead (ADVICE r3)
+        x = (x + 1.0) / 2.0
 
     n, h, w, _ = x.shape
     scale = image_size / min(h, w)

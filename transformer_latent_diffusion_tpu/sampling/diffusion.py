@@ -66,7 +66,10 @@ def make_noise_levels(n_iter: int, exponent: float = 1.0,
         levels = 0.99 * np.cos(t * np.pi / 2.0)
     elif kind == "karras":
         rho = 7.0
-        s_max, s_min = 0.99, 1.0 / n_iter
+        # n_iter=1 (one-step consistency regime) would put s_min at 1.0
+        # and divide by zero in the NSR map; clamp below 1 — the single
+        # level collapses to the 0.99 endpoint either way
+        s_max, s_min = 0.99, 1.0 / max(n_iter, 2)
         v_max, v_min = s_max / (1 - s_max), s_min / (1 - s_min)
         g = np.linspace(v_max ** (1 / rho), v_min ** (1 / rho), n_iter)
         v = g ** rho

@@ -66,6 +66,16 @@ class GenerationService:
             return None
         return tuple(sorted(int(x) for x in raw.split(",")))
 
+    def effective_n_iter(self, n_iter) -> Optional[int]:
+        """The step count a request will actually run after bucketing.
+        Frontends surface this as an X-Effective-N-Iter response header
+        when it differs from the requested value, so a client capped at
+        the largest bucket can detect the quality change (ADVICE r3)."""
+        if self.n_iter_buckets and isinstance(n_iter, int) \
+                and not isinstance(n_iter, bool):
+            return self._snap_up(n_iter, self.n_iter_buckets)
+        return n_iter if isinstance(n_iter, int) else None
+
     @staticmethod
     def _snap_up(value: int, buckets) -> int:
         """Smallest bucket >= value, else the largest bucket. The
@@ -366,10 +376,28 @@ NON_NULLABLE_FIELDS = ("prompt", "class_guidance", "seed", "num_imgs",
 def _validate_solver_fields(payload: dict) -> Optional[str]:
     """Shared 422-level validation of the solver knobs (sampler /
     schedule / cfg_rescale) — one function so the two frontends cannot
-    drift. Returns an error detail or None."""
+    drift. Returns an error detail or None.
+
+    Type checks mirror pydantic's lax mode on the WSGI frontend (where
+    the payload is raw JSON): numeric strings coerce to float for
+    cfg_rescale (written back into the payload), everything else wrong-
+    typed is a 422 — previously a TypeError here made the WSGI frontend
+    500 where the pydantic one 422'd (ADVICE r3)."""
     sampler = payload.get("sampler")
     schedule = payload.get("schedule", "poly")
     cfg_rescale = payload.get("cfg_rescale", 0.0)
+    if sampler is not None and not isinstance(sampler, str):
+        return "sampler must be a string"
+    if schedule is not None and not isinstance(schedule, str):
+        return "schedule must be a string"
+    if cfg_rescale is not None:
+        # float() matches pydantic v2 lax mode exactly: numeric strings
+        # and bools coerce, everything else is a 422
+        try:
+            cfg_rescale = float(cfg_rescale)
+        except (TypeError, ValueError):
+            return "cfg_rescale must be a number"
+        payload["cfg_rescale"] = cfg_rescale
     if sampler is not None and sampler not in ("ddim", "dpm", "heun"):
         return "sampler must be one of 'ddim', 'dpm', 'heun'"
     if schedule is not None and schedule not in ("poly", "cosine",
@@ -410,12 +438,14 @@ def create_wsgi_app(cfg: Optional[LTDConfig] = None, service=None):
         method = environ["REQUEST_METHOD"]
         path = environ.get("PATH_INFO", "/")
 
-        def respond(status_code, body, content_type="application/json"):
+        def respond(status_code, body, content_type="application/json",
+                    extra_headers=()):
             reasons = {200: "OK", 401: "Unauthorized", 404: "Not Found",
                        405: "Method Not Allowed", 422: "Unprocessable Entity",
                        500: "Internal Server Error"}
             headers = [("Content-Type", content_type),
                        ("Content-Length", str(len(body)))]
+            headers.extend(extra_headers)
             if status_code == 401:
                 headers.append(("WWW-Authenticate", "Bearer"))
             start_response(f"{status_code} {reasons[status_code]}", headers)
@@ -472,7 +502,12 @@ def create_wsgi_app(cfg: Optional[LTDConfig] = None, service=None):
                         422, json.dumps({"detail": solver_err}).encode())
                 kwargs = {k: payload.get(k, v) for k, v in REQUEST_DEFAULTS.items()}
                 jpeg = svc.generate_jpeg(prompt=payload["prompt"], **kwargs)
-                return respond(200, jpeg, content_type="image/jpeg")
+                eff = svc.effective_n_iter(kwargs.get("n_iter"))
+                extra = ([("X-Effective-N-Iter", str(eff))]
+                         if eff is not None and eff != kwargs.get("n_iter")
+                         else [])
+                return respond(200, jpeg, content_type="image/jpeg",
+                               extra_headers=extra)
             except Exception as e:  # 500 semantics: reference app.py:64-65
                 return respond(500, json.dumps({"detail": str(e)}).encode())
 
@@ -584,7 +619,11 @@ def create_fastapi_app(cfg: Optional[LTDConfig] = None, service=None):
                 sampler=request.sampler, schedule=request.schedule,
                 cfg_rescale=request.cfg_rescale,
             )
-            return StreamingResponse(io.BytesIO(jpeg), media_type="image/jpeg")
+            eff = svc.effective_n_iter(request.n_iter)
+            headers = ({"X-Effective-N-Iter": str(eff)}
+                       if eff is not None and eff != request.n_iter else None)
+            return StreamingResponse(io.BytesIO(jpeg), media_type="image/jpeg",
+                                     headers=headers)
         except Exception as e:
             raise HTTPException(status_code=500, detail=str(e))
 
