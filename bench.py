@@ -330,15 +330,19 @@ def main():
             # compile, then several warm steps: the first ~5 steps of a
             # fresh process carry ~50-70 ms/step of runtime warm-up noise
             # (measured; docs/DESIGN.md) that would understate throughput
+            loss_first = None
             for i in range(6):
                 state, loss = step_fn(state, x, y, jax.random.fold_in(
                     jax.random.PRNGKey(9), i))
+                if loss_first is None:
+                    loss_first = loss
+            loss_first = float(loss_first)
             float(loss)
             t0 = time.time()
             for i in range(n_steps):
                 state, loss = step_fn(state, x, y, jax.random.fold_in(
                     jax.random.PRNGKey(1), i))
-            float(loss)
+            loss_final = float(loss)
             dt_tr = (time.time() - t0) / n_steps
             # fwd+bwd ~= 3x the forward matmul FLOPs
             tr_flops = 3.0 * denoiser_flops_per_call(cfg, train_batch)
@@ -350,6 +354,13 @@ def main():
                 "train_tflops": round(tr_tflops, 1),
                 "train_vs_a100_anchor": round(
                     train_batch / dt_tr / A100_TRAIN_SAMPLES_PER_SEC, 3),
+                # optimization sanity over the bench's 26 same-batch
+                # steps: the bf16 fused-VJP path must actually reduce
+                # the loss, not just run fast (VERDICT r3 #1)
+                "train_loss_first": round(loss_first, 4),
+                "train_loss_final": round(loss_final, 4),
+                "train_loss_drop_pct": round(
+                    100 * (1 - loss_final / loss_first), 1),
             }
             if peak:
                 train_stats["train_pct_of_peak"] = round(
@@ -360,6 +371,51 @@ def main():
                 f"{train_stats.get('train_pct_of_peak', '?')}% of peak)")
         except Exception as e:  # best-effort, never sink the headline
             log(f"train bench failed: {type(e).__name__}: {e}")
+
+    # ---- golden-latent numerics guard (VERDICT r3 #3) ----
+    # Same fixed-seed spec as the committed CPU-exact goldens
+    # (tests/goldens/flagship_latents.npz), run through THIS bench's
+    # engine. A kernel regression that drifts latents but not latency
+    # now fails the bench instead of shipping green. Lossy opt-in modes
+    # (int8 / cache_interval) report their drift without asserting.
+    golden_stats = {}
+    if on_tpu:
+        exact_mode = cli.quantize is None and cli.cache_interval == 1
+        try:
+            from transformer_latent_diffusion_tpu.utils.goldens import (
+                GOLDEN_SPEC,
+                load_golden,
+                rel_l2,
+            )
+
+            gold = load_golden()
+            gen_g = DiffusionGenerator(model=model, params=params, vae=None,
+                                       model_dtype=dtype,
+                                       fast_apply=fast_apply)
+            glabels = jax.random.normal(
+                jax.random.PRNGKey(GOLDEN_SPEC["label_seed"]),
+                (GOLDEN_SPEC["num_imgs"], cfg.text_emb_size))
+            _, glat = gen_g.generate(
+                labels=glabels, n_iter=GOLDEN_SPEC["n_iter"],
+                num_imgs=GOLDEN_SPEC["num_imgs"],
+                class_guidance=GOLDEN_SPEC["class_guidance"],
+                seed=GOLDEN_SPEC["seed"], img_size=GOLDEN_SPEC["img_size"],
+                sharp_f=0, bright_f=0, use_ddpm_plus=False,
+                cache_interval=cli.cache_interval,
+            )
+            drift = rel_l2(
+                jax.device_get(glat.astype(jnp.float32)), gold)
+            golden_stats["golden_rel_l2"] = round(drift, 5)
+            log(f"golden drift vs CPU-exact latents: rel-L2 {drift:.5f} "
+                f"(budget 1e-2{'' if exact_mode else ', lossy mode: report-only'})")
+        except Exception as e:
+            log(f"golden check failed: {type(e).__name__}: {e}")
+            if exact_mode:
+                raise
+        if exact_mode and golden_stats:
+            assert golden_stats["golden_rel_l2"] < 1e-2, (
+                f"TPU engine drifted past the 1e-2 parity budget: "
+                f"{golden_stats['golden_rel_l2']}")
 
     metric = "256px_imgs_per_sec_per_chip_50step_ddim_b32_incl_vae"
     if cli.quantize:
@@ -374,6 +430,7 @@ def main():
         **roofline,
         **ref_headline,
         **train_stats,
+        **golden_stats,
     }))
 
 

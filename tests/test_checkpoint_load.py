@@ -304,6 +304,102 @@ def test_hf_clip_converter_matches_transformers(tmp_path):
     np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-4)
 
 
+def test_openai_clip_text_converter_oracle(tmp_path):
+    """convert_torch_clip_state_dict (the openai TorchScript layout —
+    the exact artifact the reference loads via clip.load('ViT-L/14'),
+    reference diffusion.py:160) against a hand-rolled torch oracle of
+    openai's text graph: token embed + pos embed, pre-LN causal
+    resblocks (nn.MultiheadAttention => in_proj_weight/out_proj keys,
+    QuickGELU MLP), ln_final, EOT pooling, text_projection matmul
+    (VERDICT r3 #4; mirrors the HF-layout oracle above)."""
+    _torch = pytest.importorskip("torch")
+    import torch.nn as tnn
+
+    width, heads, layers, embed_dim, ctx, vocab = 64, 2, 2, 48, 77, 49408
+
+    class QuickGELU(tnn.Module):
+        def forward(self, x):
+            return x * _torch.sigmoid(1.702 * x)
+
+    class Resblock(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.ln_1 = tnn.LayerNorm(width)
+            self.attn = tnn.MultiheadAttention(width, heads)
+            self.ln_2 = tnn.LayerNorm(width)
+            import collections
+
+            self.mlp = tnn.Sequential(collections.OrderedDict([
+                ("c_fc", tnn.Linear(width, 4 * width)),
+                ("gelu", QuickGELU()),
+                ("c_proj", tnn.Linear(4 * width, width)),
+            ]))
+
+        def forward(self, x, mask):
+            h = self.ln_1(x)
+            a, _ = self.attn(h, h, h, need_weights=False, attn_mask=mask)
+            x = x + a
+            return x + self.mlp(self.ln_2(x))
+
+    class Transformer(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.resblocks = tnn.ModuleList(Resblock() for _ in range(layers))
+
+        def forward(self, x, mask):
+            for b in self.resblocks:
+                x = b(x, mask)
+            return x
+
+    class OpenaiTextTower(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.token_embedding = tnn.Embedding(vocab, width)
+            self.positional_embedding = tnn.Parameter(
+                0.01 * _torch.randn(ctx, width))
+            self.transformer = Transformer()
+            self.ln_final = tnn.LayerNorm(width)
+            self.text_projection = tnn.Parameter(
+                width ** -0.5 * _torch.randn(width, embed_dim))
+
+        def forward(self, text):
+            x = self.token_embedding(text) + self.positional_embedding
+            # openai's additive causal mask (-inf above the diagonal),
+            # seq-first MultiheadAttention
+            n = text.shape[1]
+            mask = _torch.full((n, n), float("-inf")).triu(1)
+            x = self.transformer(x.permute(1, 0, 2), mask).permute(1, 0, 2)
+            x = self.ln_final(x)
+            eot = text.argmax(dim=-1)
+            return x[_torch.arange(x.shape[0]), eot] @ self.text_projection
+
+    _torch.manual_seed(0)
+    tower = OpenaiTextTower().eval()
+    sd = tower.state_dict()
+    # exactly the openai key set the converter advertises
+    assert "transformer.resblocks.0.attn.in_proj_weight" in sd
+    assert "text_projection" in sd
+
+    from transformer_latent_diffusion_tpu.models.clip import ClipTextModel
+    from transformer_latent_diffusion_tpu.models.torch_compat import (
+        convert_torch_clip_state_dict,
+    )
+
+    params = convert_torch_clip_state_dict(
+        {k: v for k, v in sd.items()}, layers=layers)
+
+    tokens = np.zeros((2, ctx), np.int32)
+    tokens[0, :4] = [1, 5, 7, 49407]
+    tokens[1, :6] = [1, 9, 8, 3, 2, 49407]
+    module = ClipTextModel(width=width, heads=heads, layers=layers,
+                           embed_dim=embed_dim)
+    got = np.asarray(module.apply({"params": params}, jnp.asarray(tokens)))
+    with _torch.no_grad():
+        want = tower(_torch.tensor(tokens, dtype=_torch.long)).numpy()
+    assert got.shape == want.shape == (2, embed_dim)
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-4)
+
+
 def test_clip_weights_without_vocab_warns():
     """Real CLIP weights + HashTokenizer stub is a silently-garbage
     config; FlaxClip.create must warn loudly."""

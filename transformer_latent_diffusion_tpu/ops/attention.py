@@ -22,16 +22,27 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _xla_attention(q: jax.Array, k: jax.Array, v: jax.Array) -> jax.Array:
+def _xla_attention(q: jax.Array, k: jax.Array, v: jax.Array,
+                   dropout_rate: float = 0.0,
+                   dropout_rng=None) -> jax.Array:
     """Reference-path attention in pure XLA (always correct, differentiable).
 
     q: (B, H, Nq, Dh), k/v: (B, H, Nk, Dh). Softmax in float32.
+
+    dropout_rate > 0 (with an rng) applies dropout to the attention
+    PROBABILITIES before the value matmul, with the kept entries scaled
+    by 1/(1-p) — the exact semantics of torch SDPA's dropout_p
+    (reference transformer_blocks.py:37,44-45). Train-only: samplers and
+    eval never pass an rng.
     """
     dh = q.shape[-1]
     scale = 1.0 / jnp.sqrt(jnp.asarray(dh, dtype=jnp.float32))
     s = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
     s = s * scale
     p = jax.nn.softmax(s, axis=-1)
+    if dropout_rate > 0.0 and dropout_rng is not None:
+        keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout_rate, p.shape)
+        p = jnp.where(keep, p / (1.0 - dropout_rate), 0.0)
     out = jnp.einsum("bhqk,bhkd->bhqd", p.astype(v.dtype), v)
     return out
 
@@ -366,11 +377,16 @@ def multi_head_attention(
     v: jax.Array,
     n_heads: int,
     use_pallas: bool = False,
+    dropout_rate: float = 0.0,
+    dropout_rng=None,
 ) -> jax.Array:
     """Headsplit + scaled-dot-product attention + merge.
 
     Parity with reference MHAttention (transformer_blocks.py:24-48):
-    non-causal, no mask. q/k/v: (B, N, D) -> (B, N, D).
+    non-causal, no mask; dropout_rate/dropout_rng = torch SDPA's
+    dropout_p on the attention probabilities (train-only — the flash
+    kernel does not support it, so an active dropout routes to the XLA
+    path). q/k/v: (B, N, D) -> (B, N, D).
     """
     b, nq, d = q.shape
     nk = k.shape[1]
@@ -379,9 +395,11 @@ def multi_head_attention(
     kh = k.reshape(b, nk, n_heads, dh).transpose(0, 2, 1, 3)
     vh = v.reshape(b, nk, n_heads, dh).transpose(0, 2, 1, 3)
 
-    if use_pallas:
+    dropout_on = dropout_rate > 0.0 and dropout_rng is not None
+    if use_pallas and not dropout_on:
         out = _attention_core(qh, kh, vh)
     else:
-        out = _xla_attention(qh, kh, vh)
+        out = _xla_attention(qh, kh, vh, dropout_rate if dropout_on else 0.0,
+                             dropout_rng)
 
     return out.transpose(0, 2, 1, 3).reshape(b, nq, d)

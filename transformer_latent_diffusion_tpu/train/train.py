@@ -461,6 +461,8 @@ def _build_train_step(model: Denoiser, optimizer, train_cfg, vae_scale_factor,
             check_vma=False,  # pallas custom-vjp ops defeat rep-checking
         )
 
+    log_gn = getattr(train_cfg, "log_grad_norm", False)
+
     def train_step(state: Dict[str, Any], x, y, rng):
         params = state["params"]
         if dp_shard_map:
@@ -468,6 +470,7 @@ def _build_train_step(model: Denoiser, optimizer, train_cfg, vae_scale_factor,
         else:
             loss, grads = grads_of(params, x, y, rng)
 
+        metrics = ((loss, optax.global_norm(grads)) if log_gn else loss)
         updates, opt_state = optimizer.update(grads, state["opt_state"], params)
         params = optax.apply_updates(params, updates)
         ema = update_ema(state["ema_params"], params, train_cfg.alpha)
@@ -476,7 +479,7 @@ def _build_train_step(model: Denoiser, optimizer, train_cfg, vae_scale_factor,
             "ema_params": ema,
             "opt_state": opt_state,
             "step": state["step"] + 1,
-        }, loss
+        }, metrics
 
     return train_step
 
@@ -808,6 +811,7 @@ def main(config: ModelConfig, init_params: Optional[Any] = None) -> Dict[str, An
 
     timer = StepTimer()
     losses = []
+    grad_norms = []
     shutdown = GracefulShutdown(enabled=train_config.handle_signals)
     shutdown.__enter__()
     for epoch in range(1, train_config.n_epoch + 1):
@@ -865,7 +869,12 @@ def main(config: ModelConfig, init_params: Optional[Any] = None) -> Dict[str, An
                     ckpt_mgr.save(global_step, snapshot, async_=True)
 
             step_rng = jax.random.fold_in(rng, global_step)
-            state, loss = train_step(state, x, y, step_rng)
+            state, metrics = train_step(state, x, y, step_rng)
+            if train_config.log_grad_norm:
+                loss, gnorm = metrics
+                grad_norms.append(gnorm)
+            else:
+                loss = metrics
             global_step += 1
             # keep the loss on device; a float() here would force a
             # device->host sync EVERY step (device->host crawls on the
@@ -879,6 +888,8 @@ def main(config: ModelConfig, init_params: Optional[Any] = None) -> Dict[str, An
                 # (a per-step float(loss) would serialize compute against
                 # the tunnel every step)
                 losses[-1] = float(losses[-1])
+                if grad_norms:
+                    grad_norms[-1] = float(grad_norms[-1])
                 if wandb_run is not None:
                     sps = timer.samples_per_sec(train_config.batch_size)
                     recent = losses[-16:]
@@ -907,7 +918,9 @@ def main(config: ModelConfig, init_params: Optional[Any] = None) -> Dict[str, An
             log(f"preemption checkpoint saved at step {global_step}")
 
     losses = [float(loss) for loss in losses]
+    grad_norms = [float(g) for g in grad_norms]
     if losses:
         log(f"final loss {np.mean(losses[-10:]):.5f}")
     return {"state": state, "losses": losses, "global_step": global_step,
-            "val_losses": val_losses, "preempted": shutdown.requested}
+            "val_losses": val_losses, "grad_norms": grad_norms,
+            "preempted": shutdown.requested}
