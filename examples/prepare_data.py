@@ -41,7 +41,10 @@ def main():
         process_index=jax.process_index(),
         process_count=jax.process_count(),
     ))
-    lp, tp = hdf5_to_npy(args.latent_dir)
+    lp, tp = hdf5_to_npy(
+        args.latent_dir,
+        out_latents=os.path.join(args.latent_dir, "latents.npy"),
+        out_text=os.path.join(args.latent_dir, "text_emb.npy"))
     print(f"wrote {lp} and {tp}")
 
 

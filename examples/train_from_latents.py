@@ -35,6 +35,10 @@ def main():
     ap.add_argument("--init-npz", default=None,
                     help="warm-start params (.npz); the frozen base "
                          "for --lora-rank")
+    ap.add_argument("--eval-every", type=int, default=1000,
+                    help="save_and_eval_every_iters")
+    ap.add_argument("--no-save", action="store_true",
+                    help="skip orbax checkpoints (smoke runs)")
     args = ap.parse_args()
 
     import jax
@@ -53,6 +57,8 @@ def main():
             batch_size=args.batch_size, lr=args.lr, n_epoch=args.epochs,
             mesh_shape=(dp, args.tp), compute_dtype="bfloat16",
             model_name="tld_tpu", use_wandb=False,
+            save_and_eval_every_iters=args.eval_every,
+            save_model=not args.no_save,
             lora_rank=args.lora_rank),
     )
     init_params = None

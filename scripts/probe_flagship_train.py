@@ -157,6 +157,13 @@ def main():
     )
 
     report = {"config": "101M flagship, batch %d" % args.batch}
+
+    def flush_report():
+        # incremental: a crash in a later leg must not lose earlier legs
+        os.makedirs(os.path.dirname(args.out), exist_ok=True)
+        with open(args.out, "w") as f:
+            json.dump(report, f, indent=1)
+
     vae_kw = {}
     if args.tiny:
         from transformer_latent_diffusion_tpu.configs import VaeConfig
@@ -179,6 +186,7 @@ def main():
         if os.path.isdir(eval_dir) else []
     steps_a = res_a["global_step"]
     del res_a
+    flush_report()
 
     # ---- leg B: resume (loads EMA weights, reference train.py:98) ----
     cfg_b = ModelConfig(
@@ -195,17 +203,22 @@ def main():
     report["resume"]["step_counter_ok"] = (
         res_b["global_step"] == steps_a + per_epoch)
     del res_b
+    flush_report()
 
     # ---- leg C: f32 / XLA (no fused Pallas VJP kernels) ----
     if not args.skip_f32:
         f32_epochs = max(1, -(-args.f32_steps // per_epoch))
+        # remat=True: f32 XLA at batch 256 stores ~768MB per MLP
+        # activation and blows the 15.75G HBM (measured OOM at 35.6G);
+        # rematerialization is numerically identical, so the yardstick
+        # trajectory is unchanged.
         cfg_c = ModelConfig(
             data_config=data_cfg, denoiser_config=den_cfg,
             train_config=TrainConfig(
                 n_epoch=f32_epochs, model_name="flagship_f32",
                 save_model=False, compute_dtype="float32",
                 fused_layer_vjp=False, fused_mlp_vjp=False,
-                fused_attn_vjp=False, **common), **vae_kw,
+                fused_attn_vjp=False, remat=True, **common), **vae_kw,
         )
         t0 = time.time()
         res_c = train_main(cfg_c)
@@ -225,9 +238,7 @@ def main():
         print("bf16 vs f32 per-step loss gap:",
               report["bf16_vs_f32_rel_loss_gap"], flush=True)
 
-    os.makedirs(os.path.dirname(args.out), exist_ok=True)
-    with open(args.out, "w") as f:
-        json.dump(report, f, indent=1)
+    flush_report()
     print("report ->", args.out, flush=True)
 
 

