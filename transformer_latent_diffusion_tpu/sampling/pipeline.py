@@ -35,6 +35,29 @@ from transformer_latent_diffusion_tpu.utils import (
 )
 
 
+def pool_mask_to_latent(mask, want: int) -> np.ndarray:
+    """Image-space inpainting mask -> (1,1,S,S) latent-grid mask.
+
+    nonzero = regenerate, zero = keep; multi-channel masks use the FIRST
+    channel (an opaque alpha channel must not mark everything as
+    regenerate). Max-pooled to the latent grid: any touched latent cell
+    regenerates (latent cells couple ~8px of pixels, so masks are
+    latent-resolution). Shared by DiffusionTransformer.inpaint and the
+    serving micro-batcher."""
+    m = np.asarray(mask, dtype=np.float32)
+    if m.ndim == 3:  # RGB(A)/channel-last mask -> first channel
+        m = m[..., 0]
+    m = (m > 0).astype(np.float32)
+    down = m.shape[-1] // want
+    if down < 1 or m.shape[-1] != want * down or m.shape[-2] != want * down:
+        raise ValueError(
+            f"mask is {m.shape[-2]}x{m.shape[-1]}; expected a square "
+            f"multiple of the {want}-wide latent grid")
+    # max-pool to the latent grid: regenerate any touched cell
+    m = m.reshape(want, down, want, down).max(axis=(1, 3))
+    return m[None, None]  # (1,1,S,S) broadcasts over batch+channels
+
+
 def download_file(url: str, filename: str) -> None:
     """Stream a file to disk. Parity: reference diffusion.py:128-133.
 
@@ -741,19 +764,7 @@ class DiffusionTransformer:
         mask)."""
         lat = self._encode_init_image(image)
         want = self.diffuser.model.image_size
-
-        m = np.asarray(mask, dtype=np.float32)
-        if m.ndim == 3:  # RGB(A)/channel-last mask -> first channel
-            m = m[..., 0]
-        m = (m > 0).astype(np.float32)
-        down = m.shape[-1] // want
-        if down < 1 or m.shape[-1] != want * down or m.shape[-2] != want * down:
-            raise ValueError(
-                f"mask is {m.shape[-2]}x{m.shape[-1]}; expected a square "
-                f"multiple of the {want}-wide latent grid")
-        # max-pool to the latent grid: regenerate any touched cell
-        m = m.reshape(want, down, want, down).max(axis=(1, 3))
-        m = m[None, None]  # (1,1,S,S) broadcasts over batch+channels
+        m = pool_mask_to_latent(mask, want)
 
         if not (lat.shape[0] == 1 and num_imgs > 1):
             num_imgs = int(lat.shape[0])

@@ -41,7 +41,11 @@ class GenerationService:
     microbatch: coalesce concurrent requests into batched scan calls via
     serve/batcher.MicroBatcher (beyond-reference; also enabled by setting
     the SERVE_MICROBATCH env var to a max batch size, e.g. "32").
-    Requests with cache_interval != 1 bypass the batcher.
+    Editing traffic (img2img/inpaint) batches too, grouped by
+    (kind, strength). Requests with cache_interval != 1 bypass the
+    batcher, as do interpolation strips (frames share one init noise
+    draw — there is nothing per-request to coalesce) and best-of-N
+    (the candidate set is already a full device batch per request).
     """
 
     # compile-count bucketing policy (VERDICT r2 #7): every distinct
@@ -292,8 +296,9 @@ class GenerationService:
                                     padding=4)
         elif init_image is not None:
             # img2img / inpainting (base64-encoded PNG/JPEG payloads);
-            # bypasses the batcher — per-request init latents don't
-            # coalesce
+            # rides the micro-batcher when enabled — the batcher groups
+            # editing requests by (kind, strength) so concurrent editing
+            # traffic coalesces like t2i (VERDICT r3 #8)
             if cache_interval > 1:
                 import warnings
 
@@ -307,9 +312,20 @@ class GenerationService:
                 io.BytesIO(base64.b64decode(init_image))).convert("RGB")
             if strength is None:  # inpaint regenerates fully by default
                 strength = 1.0 if mask is not None else 0.5
+            m = None
             if mask is not None:
                 m = PIL.Image.open(
                     io.BytesIO(base64.b64decode(mask))).convert("L")
+            if (self.batcher is not None
+                    and num_imgs <= self.batcher.max_batch):
+                img = self.batcher.generate(
+                    prompt=prompt, class_guidance=class_guidance,
+                    seed=seed, num_imgs=num_imgs, n_iter=n_iter,
+                    negative_prompt=negative_prompt,
+                    init_image=src, mask=m, strength=strength,
+                    timeout=self.request_timeout_s,
+                )
+            elif m is not None:
                 img = self.transformer.inpaint(
                     src, m, prompt, strength=strength,
                     class_guidance=class_guidance, seed=seed,

@@ -56,6 +56,13 @@ class _Request:
     sampler: Optional[str] = None
     schedule: str = "poly"
     cfg_rescale: float = 0.0
+    # editing payloads (img2img / inpainting): already in latent units,
+    # expanded to per-image shape (num_imgs,C,S,S) / (num_imgs,1,S,S).
+    # strength selects the scan length (n_skip), so it is part of the
+    # grouping key; None for pure text-to-image.
+    init_latents: Optional[np.ndarray] = None
+    mask: Optional[np.ndarray] = None
+    strength: Optional[float] = None
     done: threading.Event = field(default_factory=threading.Event)
     cancelled: threading.Event = field(default_factory=threading.Event)
     result: Any = None
@@ -106,13 +113,49 @@ class MicroBatcher:
                  n_iter: int = 15, timeout: Optional[float] = None,
                  negative_prompt: Optional[str] = None,
                  sampler: Optional[str] = None, schedule: str = "poly",
-                 cfg_rescale: float = 0.0):
+                 cfg_rescale: float = 0.0,
+                 init_image=None, mask=None,
+                 strength: Optional[float] = None):
         """Blocking generate; returns the same PIL grid as
         `DiffusionTransformer.generate_image_from_text` (img_size is
         accepted-but-unused exactly like the reference API). Requests
         with and without negative prompts batch together: the CFG uncond
-        half is a per-image embedding (zeros when no negative prompt)."""
+        half is a per-image embedding (zeros when no negative prompt).
+
+        Editing requests batch too (VERDICT r3 #8): `init_image` (PIL or
+        uint8/float array, see DiffusionTransformer.image_to_image) plus
+        optional `mask`/`strength` enqueue as img2img / inpainting work.
+        The VAE encode + mask pooling happen here in the calling thread
+        (one image per request — the 15-step scan dominates, JAX dispatch
+        is thread-safe); the scans themselves coalesce per
+        (kind, strength) group because strength selects the scan length
+        and a mask selects the masked scan body. Strength defaults match
+        the solo pipeline: 0.5 for img2img, 1.0 under a mask."""
         num_imgs = int(num_imgs)
+        init_lat = pooled = None
+        if mask is not None and init_image is None:
+            raise ValueError("mask requires init_image (inpainting is "
+                             "masked img2img)")
+        if init_image is not None:
+            tr = self.transformer
+            want = tr.diffuser.model.image_size
+            lat = np.asarray(tr._encode_init_image(init_image),
+                             dtype=np.float32)
+            if lat.shape[0] == 1:
+                init_lat = np.repeat(lat, num_imgs, axis=0)
+            else:  # real input batch fixes num_imgs (solo-path rule)
+                num_imgs, init_lat = int(lat.shape[0]), lat
+            if strength is None:
+                strength = 1.0 if mask is not None else 0.5
+            if mask is not None:
+                from transformer_latent_diffusion_tpu.sampling.pipeline import (
+                    pool_mask_to_latent,
+                )
+
+                pooled = np.repeat(pool_mask_to_latent(mask, want),
+                                   num_imgs, axis=0)
+        elif strength is not None:
+            raise ValueError("strength requires init_image")
         if not 1 <= num_imgs <= self.max_batch:
             raise ValueError(
                 f"num_imgs={num_imgs} must be in [1, {self.max_batch}]")
@@ -120,7 +163,9 @@ class MicroBatcher:
                        seed=int(seed), num_imgs=num_imgs,
                        n_iter=int(n_iter), negative_prompt=negative_prompt,
                        sampler=sampler, schedule=str(schedule),
-                       cfg_rescale=float(cfg_rescale))
+                       cfg_rescale=float(cfg_rescale),
+                       init_latents=init_lat, mask=pooled,
+                       strength=None if strength is None else float(strength))
         with self._lock:
             if self._closed:
                 raise RuntimeError("MicroBatcher is closed")
@@ -191,12 +236,18 @@ class MicroBatcher:
                 batch.append(nxt)
                 n_imgs += nxt.num_imgs
             # group by the solver key — step count / sampler / schedule /
-            # cfg_rescale each select a different scan (or levels array);
-            # everything else (prompts, seeds, guidance) batches freely
+            # cfg_rescale each select a different scan (or levels array),
+            # a mask selects the masked scan body, and strength selects
+            # the scan length (n_skip); everything else (prompts, seeds,
+            # guidance, init images) batches freely
             by_key = {}
             for r in batch:
                 if not r.cancelled.is_set():
-                    key = (r.n_iter, r.sampler, r.schedule, r.cfg_rescale)
+                    kind = ("inpaint" if r.mask is not None else
+                            "img2img" if r.init_latents is not None
+                            else "t2i")
+                    key = (r.n_iter, r.sampler, r.schedule, r.cfg_rescale,
+                           kind, r.strength)
                     by_key.setdefault(key, []).append(r)
             for key, reqs in by_key.items():
                 try:
@@ -217,7 +268,8 @@ class MicroBatcher:
 
     def _serve_group(self, reqs: List[_Request], n_iter: int,
                      sampler: Optional[str] = None, schedule: str = "poly",
-                     cfg_rescale: float = 0.0):
+                     cfg_rescale: float = 0.0, kind: str = "t2i",
+                     strength: Optional[float] = None):
         tr = self.transformer
         model = tr.diffuser.model
         c, s = model.n_channels, model.image_size
@@ -272,6 +324,12 @@ class MicroBatcher:
             np.full((r.num_imgs,), r.class_guidance, np.float32)
             for r in reqs])
 
+        inits = masks = None
+        if kind != "t2i":
+            inits = [np.asarray(r.init_latents, np.float32) for r in reqs]
+        if kind == "inpaint":
+            masks = [np.asarray(r.mask, np.float32) for r in reqs]
+
         n = labels.shape[0]
         b = self._bucket(n)
         if b > n:  # pad with replicas of row 0 (discarded after)
@@ -282,6 +340,10 @@ class MicroBatcher:
             if negatives is not None:
                 negatives = np.concatenate(
                     [negatives, np.repeat(negatives[:1], pad, 0)])
+            if inits is not None:
+                inits.append(np.repeat(inits[0][:1], pad, 0))
+            if masks is not None:
+                masks.append(np.repeat(masks[0][:1], pad, 0))
         seeds = np.concatenate(noises, axis=0)
 
         out, _ = tr.diffuser.generate(
@@ -301,6 +363,11 @@ class MicroBatcher:
             sampler=sampler,
             schedule=schedule,
             cfg_rescale=cfg_rescale,
+            init_latents=(None if inits is None
+                          else jnp.asarray(np.concatenate(inits, axis=0))),
+            strength=1.0 if strength is None else strength,
+            mask=(None if masks is None
+                  else jnp.asarray(np.concatenate(masks, axis=0))),
         )
         out = np.asarray(out)
 
