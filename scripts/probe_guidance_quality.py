@@ -1,16 +1,17 @@
 """Quality effect of the guidance knobs (cfg_rescale, guidance_interval)
-on the hermetic 8-cluster benchmark — the cost side is measured in
-probe_guidance_cost.py (rescale free, interval ~1.3%); this probe asks
-whether they actually help, using the x0/v models cached by
-probe_objective_quality.py (run that first; this one only samples).
+on the strengthened shared benchmark (scripts/toy_benchmark.py, VERDICT
+r3 #9) — the cost side is measured in probe_guidance_cost.py (rescale
+free, interval ~1.3%); this probe asks whether they actually help, using
+the x0/v models cached by probe_objective_quality.py (run that first;
+this one only samples).
 
 High guidance overshoots the conditional mean (that is why
 probe_objective_quality evaluates at guidance 3, not 6) — guidance-
 rescale and interval-limited guidance are the two standard mitigations.
 Sweep: guidance in {3, 6}, cfg_rescale in {0, 0.5, 0.75, 1.0} and
-guidance_interval in {None, (0.1, 0.95), (0.2, 0.8)}; report truth-FID /
-truth-MSE per setting (same yardstick + latent-FID caveats as the other
-probes; compare values to each other).
+guidance_interval in {None, (0.1, 0.95), (0.2, 0.8)}; reports latent-FID
++ CLIP-FID (in-repo image tower) + MSE, mean +- std over 3 eval
+replicates (compare values to each other).
 
 Usage: python scripts/probe_guidance_quality.py [--cpu]
 """
@@ -20,51 +21,37 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import pickle
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--cpu", action="store_true")
-    ap.add_argument("--n-eval", type=int, default=512)
-    ap.add_argument("--ckpt-dir", default="/tmp/objective_quality_ckpt")
+    ap.add_argument("--n-eval", type=int, default=None)
+    ap.add_argument("--replicates", type=int, default=None)
+    ap.add_argument("--ckpt-dir", default="/tmp/toyq_ckpt")
     args = ap.parse_args()
 
-    import pickle
     from dataclasses import replace
 
     import jax
 
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
-    import jax.numpy as jnp
-    import numpy as np
 
-    from transformer_latent_diffusion_tpu.configs import DenoiserConfig
-    from transformer_latent_diffusion_tpu.models import Denoiser
-    from transformer_latent_diffusion_tpu.sampling import DiffusionGenerator
-    from transformer_latent_diffusion_tpu.utils.fid import compute_fid
+    import toy_benchmark as tb
 
     print(f"backend={jax.default_backend()}", flush=True)
 
-    # same dataset constants as probe_objective_quality (rng stream
-    # replayed: mus/embs are the first two draws from seed 0)
-    base_dcfg = DenoiserConfig(image_size=16, embed_dim=128, n_layers=3,
-                               noise_embed_dims=128)
-    rng = np.random.default_rng(0)
-    n_classes = 8
-    mus = rng.standard_normal((n_classes, 4, 16, 16)).astype(np.float32)
-    embs = rng.standard_normal((n_classes, 768)).astype(np.float32)
-
-    n_eval = args.n_eval
-    eval_rng = np.random.default_rng(42)
-    eval_cls = eval_rng.integers(0, n_classes, size=n_eval)
-    labels = jnp.asarray(embs[eval_cls])
-    truth = (mus[eval_cls] + 0.1 * eval_rng.standard_normal(
-        (n_eval, 4, 16, 16))).astype(np.float32)
-    flat = lambda a: a.reshape(a.shape[0], -1)  # noqa: E731
+    bench = tb.Benchmark()
+    base_dcfg = tb.base_denoiser_cfg()
+    n_eval = args.n_eval or tb.N_EVAL
+    n_rep = args.replicates or tb.N_REPLICATES
+    clip_feats = tb.clip_features_fn(bench.img)
 
     for objective in ("x0", "v"):
         path = os.path.join(args.ckpt_dir, f"{objective}.pkl")
@@ -74,38 +61,24 @@ def main():
             return
         with open(path, "rb") as f:
             params = pickle.load(f)
-        model = Denoiser(**replace(base_dcfg, objective=objective).__dict__)
-        gen = DiffusionGenerator(model=model, params=params, vae=None)
+        dcfg = replace(base_dcfg, objective=objective)
 
-        def sample(guidance, rescale, interval):
-            _, lat = gen.generate(
-                labels=labels, num_imgs=n_eval, img_size=16, n_iter=50,
-                class_guidance=guidance, seed=7, sharp_f=0, bright_f=0,
-                use_ddpm_plus=False, scale_factor=1.0,
-                cfg_rescale=rescale, guidance_interval=interval)
-            return np.asarray(lat, np.float32)
+        def report(tag, guidance, rescale, interval):
+            sample = tb.make_sampler(dcfg, params, class_guidance=guidance,
+                                     cfg_rescale=rescale,
+                                     guidance_interval=interval)
+            rec = {"objective": objective, "guidance": guidance, **tag}
+            rec.update(tb.score_replicates(bench, sample, n_eval=n_eval,
+                                           n_replicates=n_rep,
+                                           clip_feats=clip_feats))
+            print(json.dumps(rec), flush=True)
 
         for guidance in (3.0, 6.0):
             for rescale in (0.0, 0.5, 0.75, 1.0):
-                lat = sample(guidance, rescale, None)
-                print(json.dumps({
-                    "objective": objective, "guidance": guidance,
-                    "cfg_rescale": rescale,
-                    "truth_fid": round(compute_fid(flat(truth), flat(lat)),
-                                       4),
-                    "truth_mse": round(
-                        float(np.mean((lat - mus[eval_cls]) ** 2)), 4)}),
-                    flush=True)
+                report({"cfg_rescale": rescale}, guidance, rescale, None)
             for interval in ((0.1, 0.95), (0.2, 0.8)):
-                lat = sample(guidance, 0.0, interval)
-                print(json.dumps({
-                    "objective": objective, "guidance": guidance,
-                    "guidance_interval": list(interval),
-                    "truth_fid": round(compute_fid(flat(truth), flat(lat)),
-                                       4),
-                    "truth_mse": round(
-                        float(np.mean((lat - mus[eval_cls]) ** 2)), 4)}),
-                    flush=True)
+                report({"guidance_interval": list(interval)},
+                       guidance, 0.0, interval)
 
 
 if __name__ == "__main__":
