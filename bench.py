@@ -105,6 +105,9 @@ def main():
     ap.add_argument("--cache-interval", type=int, default=1,
                     help="opt-in Delta-DiT block caching: recompute the "
                          "middle layers every k-th step (1 = exact)")
+    ap.add_argument("--golden-only", action="store_true",
+                    help="run only the golden numerics audit (fast "
+                         "iteration on the guard itself)")
     cli = ap.parse_args()
 
     from transformer_latent_diffusion_tpu.configs import DenoiserConfig
@@ -116,6 +119,18 @@ def main():
     backend = wait_for_backend()
     on_tpu = backend not in ("cpu",)
     log(f"backend={backend} devices={jax.devices()}")
+
+    if cli.golden_only:
+        from transformer_latent_diffusion_tpu.utils.goldens import (
+            audit_tpu_numerics,
+        )
+
+        fields, failures = audit_tpu_numerics(
+            quantize=cli.quantize, cache_interval=cli.cache_interval,
+            log=log)
+        print(json.dumps({"metric": "golden_audit", **fields}))
+        assert not failures, "; ".join(failures)
+        return
 
     cfg = DenoiserConfig(
         image_size=32, noise_embed_dims=256, patch_size=2, embed_dim=768,
@@ -373,49 +388,28 @@ def main():
             log(f"train bench failed: {type(e).__name__}: {e}")
 
     # ---- golden-latent numerics guard (VERDICT r3 #3) ----
-    # Same fixed-seed spec as the committed CPU-exact goldens
-    # (tests/goldens/flagship_latents.npz), run through THIS bench's
-    # engine. A kernel regression that drifts latents but not latency
-    # now fails the bench instead of shipping green. Lossy opt-in modes
-    # (int8 / cache_interval) report their drift without asserting.
+    # Three measured-budget legs (see utils/goldens.py docstring):
+    # f32-vs-CPU-golden (semantic), engine-vs-XLA one bf16 call (kernel
+    # math), engine-trajectory-vs-TPU-golden (reproducibility tripwire).
+    # A kernel regression that drifts latents but not latency now fails
+    # the bench instead of shipping green. Lossy opt-in modes (int8 /
+    # cache_interval) report their drift without asserting.
     golden_stats = {}
     if on_tpu:
         exact_mode = cli.quantize is None and cli.cache_interval == 1
         try:
             from transformer_latent_diffusion_tpu.utils.goldens import (
-                GOLDEN_SPEC,
-                load_golden,
-                rel_l2,
+                audit_tpu_numerics,
             )
 
-            gold = load_golden()
-            gen_g = DiffusionGenerator(model=model, params=params, vae=None,
-                                       model_dtype=dtype,
-                                       fast_apply=fast_apply)
-            glabels = jax.random.normal(
-                jax.random.PRNGKey(GOLDEN_SPEC["label_seed"]),
-                (GOLDEN_SPEC["num_imgs"], cfg.text_emb_size))
-            _, glat = gen_g.generate(
-                labels=glabels, n_iter=GOLDEN_SPEC["n_iter"],
-                num_imgs=GOLDEN_SPEC["num_imgs"],
-                class_guidance=GOLDEN_SPEC["class_guidance"],
-                seed=GOLDEN_SPEC["seed"], img_size=GOLDEN_SPEC["img_size"],
-                sharp_f=0, bright_f=0, use_ddpm_plus=False,
-                cache_interval=cli.cache_interval,
-            )
-            drift = rel_l2(
-                jax.device_get(glat.astype(jnp.float32)), gold)
-            golden_stats["golden_rel_l2"] = round(drift, 5)
-            log(f"golden drift vs CPU-exact latents: rel-L2 {drift:.5f} "
-                f"(budget 1e-2{'' if exact_mode else ', lossy mode: report-only'})")
+            golden_stats, failures = audit_tpu_numerics(
+                quantize=cli.quantize, cache_interval=cli.cache_interval,
+                log=log)
+            assert not failures, "; ".join(failures)
         except Exception as e:
             log(f"golden check failed: {type(e).__name__}: {e}")
             if exact_mode:
                 raise
-        if exact_mode and golden_stats:
-            assert golden_stats["golden_rel_l2"] < 1e-2, (
-                f"TPU engine drifted past the 1e-2 parity budget: "
-                f"{golden_stats['golden_rel_l2']}")
 
     metric = "256px_imgs_per_sec_per_chip_50step_ddim_b32_incl_vae"
     if cli.quantize:

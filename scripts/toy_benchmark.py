@@ -152,10 +152,12 @@ def clip_features_fn(img: int = IMG, seed: int = 0):
 
 def train_or_load(name: str, dcfg, data_paths, ckpt_dir: str,
                   epochs: int = 24, batch: int = 64, lr: float = 2e-3,
-                  **tcfg_kwargs):
+                  extra_buckets=(), **tcfg_kwargs):
     """train.main a variant (or load its cached EMA params); returns
     (params, losses-or-None). Cache key = `name` inside ckpt_dir —
-    delete the .pkl to retrain."""
+    delete the .pkl to retrain. `extra_buckets` is a sequence of
+    (latents.npy, text.npy) pairs for multi-resolution bucketed
+    training (DataConfig.extra_latent_paths)."""
     import jax
 
     from transformer_latent_diffusion_tpu.configs import (
@@ -173,7 +175,10 @@ def train_or_load(name: str, dcfg, data_paths, ckpt_dir: str,
             return pickle.load(f), None
     lp, tp, vp = data_paths
     cfg = ModelConfig(
-        data_config=DataConfig(lp, tp, vp),
+        data_config=DataConfig(
+            lp, tp, vp,
+            extra_latent_paths=tuple(b[0] for b in extra_buckets),
+            extra_text_emb_paths=tuple(b[1] for b in extra_buckets)),
         denoiser_config=dcfg,
         train_config=TrainConfig(
             n_epoch=epochs, batch_size=batch, lr=lr, save_model=False,

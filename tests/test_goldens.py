@@ -18,6 +18,21 @@ from transformer_latent_diffusion_tpu.utils.goldens import (
 )
 
 
+def test_tpu_golden_committed():
+    """The TPU-engine reproducibility baseline (audit leg 3) can only
+    be REGENERATED on hardware, but its shape/sanity is checkable
+    anywhere — and its absence would silently skip the tripwire."""
+    from transformer_latent_diffusion_tpu.utils.goldens import (
+        TPU_GOLDEN_PATH,
+    )
+
+    gold = load_golden(TPU_GOLDEN_PATH)
+    assert gold.shape == (GOLDEN_SPEC["num_imgs"], 4,
+                          GOLDEN_SPEC["img_size"], GOLDEN_SPEC["img_size"])
+    assert np.isfinite(gold).all()
+    assert gold.std() > 0.01
+
+
 def test_golden_latents_reproducible():
     gold = load_golden()
     assert gold.shape == (GOLDEN_SPEC["num_imgs"], 4,
