@@ -236,13 +236,17 @@ def base_denoiser_cfg():
                           noise_embed_dims=128)
 
 
-def make_sampler(dcfg, params, **gen_kwargs):
-    """sample_fn(labels, seed) closure over a DiffusionGenerator."""
+def make_sampler(dcfg, params, fast_apply_factory=None, **gen_kwargs):
+    """sample_fn(labels, seed) closure over a DiffusionGenerator.
+    `fast_apply_factory(model) -> apply_fn` reaches the generator ctor
+    (e.g. train.consistency_apply for a distilled student)."""
     from transformer_latent_diffusion_tpu.models import Denoiser
     from transformer_latent_diffusion_tpu.sampling import DiffusionGenerator
 
     model = Denoiser(**dcfg.__dict__)
-    gen = DiffusionGenerator(model=model, params=params, vae=None)
+    gen = DiffusionGenerator(
+        model=model, params=params, vae=None,
+        fast_apply=fast_apply_factory(model) if fast_apply_factory else None)
     defaults = dict(num_imgs=N_EVAL, img_size=IMG, n_iter=50,
                     class_guidance=3.0, sharp_f=0, bright_f=0,
                     use_ddpm_plus=False, scale_factor=1.0)
