@@ -6,7 +6,12 @@ and reports imgs/sec and per-request latency for
   (a) the reference serving model: one request at a time, and
   (b) serve.batcher.MicroBatcher coalescing them into one scan call.
 
+--editing benches concurrent img2img requests instead (same strength →
+one batcher group; round-4 coalescing, VERDICT r3 #8): per-request VAE
+encodes happen in the calling threads, the denoise scans coalesce.
+
 Usage: python scripts/bench_serving.py [--requests 16] [--n-iter 50]
+       [--editing]
 """
 
 from __future__ import annotations
@@ -26,6 +31,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--requests", type=int, default=16)
     ap.add_argument("--n-iter", type=int, default=50)
+    ap.add_argument("--editing", action="store_true",
+                    help="bench concurrent img2img requests (strength "
+                         "0.5) instead of text-to-image")
     args = ap.parse_args()
 
     from transformer_latent_diffusion_tpu.configs import (
@@ -49,7 +57,18 @@ def main():
     n = args.requests
     prompts = [f"a cute cat number {i}" for i in range(n)]
 
+    init_img = None
+    if args.editing:
+        import numpy as np
+
+        rng = np.random.default_rng(0)
+        init_img = rng.integers(0, 256, (256, 256, 3), dtype=np.uint8)
+
     def solo(i):
+        if args.editing:
+            return tr.image_to_image(
+                init_img, prompts[i], strength=0.5, class_guidance=6,
+                seed=i, num_imgs=1, n_iter=args.n_iter)
         return tr.generate_image_from_text(
             prompts[i], class_guidance=6, seed=i, num_imgs=1,
             n_iter=args.n_iter)
@@ -66,7 +85,14 @@ def main():
           f"({n / dt_solo:.2f} imgs/s, {dt_solo / n * 1e3:.0f} ms/req)",
           flush=True)
 
-    mb = MicroBatcher(tr, max_batch=n, max_wait_ms=200.0)
+    # editing requests VAE-encode in the calling thread BEFORE they
+    # enqueue, which spreads a simultaneous burst over ~1-2s; a 200 ms
+    # window then splits the burst into several pad buckets and the
+    # measured pass compiles fresh scan shapes. A 1 s window lets the
+    # whole burst coalesce into one bucket (the scan it feeds runs
+    # multiple seconds — the wait is amortized).
+    mb = MicroBatcher(tr, max_batch=n,
+                      max_wait_ms=1000.0 if args.editing else 200.0)
 
     def fire():
         lat = [None] * n
@@ -76,7 +102,9 @@ def main():
             t = time.time()
             try:
                 mb.generate(prompts[i], class_guidance=6, seed=i,
-                            num_imgs=1, n_iter=args.n_iter, timeout=1800)
+                            num_imgs=1, n_iter=args.n_iter, timeout=1800,
+                            init_image=init_img,
+                            strength=0.5 if args.editing else None)
                 lat[i] = time.time() - t
             except BaseException as e:
                 errs.append(e)
@@ -94,6 +122,12 @@ def main():
     t0 = time.time()
     fire()
     print(f"  {time.time() - t0:.1f}s", flush=True)
+    if args.editing:
+        # arrival races can still hit a not-yet-compiled pad bucket;
+        # a second warmup pass makes the measured one honest
+        t0 = time.time()
+        fire()
+        print(f"  warmup2 {time.time() - t0:.1f}s", flush=True)
     dt_b, lat = fire()
     print(f"microbatched: {n} reqs in {dt_b:.2f}s "
           f"({n / dt_b:.2f} imgs/s, p50 {sorted(lat)[n // 2] * 1e3:.0f} ms, "
