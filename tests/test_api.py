@@ -528,3 +528,28 @@ def test_serve_warmup_precompiles():
     assert h["status"] == "ok"
     assert h["requests"] == 0  # warmup must not count as traffic
     assert len(svc.transformer.diffuser._compiled) > 0
+
+
+def test_microbatch_wait_env_knob(monkeypatch):
+    """SERVE_MICROBATCH_WAIT_MS tunes the batcher's coalesce window
+    (editing bursts arrive staggered by their calling-thread VAE
+    encodes; docs/DESIGN.md serving section has the measurement)."""
+    from tests.test_diffusion import tiny_ltd_config
+    from transformer_latent_diffusion_tpu.sampling import (
+        DiffusionTransformer,
+    )
+    from transformer_latent_diffusion_tpu.serve.app import GenerationService
+
+    dt = DiffusionTransformer(tiny_ltd_config())
+    monkeypatch.setenv("SERVE_MICROBATCH_WAIT_MS", "750")
+    svc = GenerationService(transformer=dt, microbatch=4)
+    try:
+        assert svc.batcher.max_wait_ms == 750.0
+    finally:
+        svc.batcher.close()
+    # explicit ctor arg wins over the env
+    svc2 = GenerationService(transformer=dt, microbatch=4, max_wait_ms=10)
+    try:
+        assert svc2.batcher.max_wait_ms == 10.0
+    finally:
+        svc2.batcher.close()

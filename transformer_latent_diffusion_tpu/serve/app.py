@@ -92,7 +92,8 @@ class GenerationService:
         return buckets[-1]
 
     def __init__(self, cfg: Optional[LTDConfig] = None, transformer=None,
-                 microbatch: Optional[int] = None, max_wait_ms: float = 25.0,
+                 microbatch: Optional[int] = None,
+                 max_wait_ms=_ENV_DEFAULT,
                  request_timeout_s: Optional[float] = None,
                  num_imgs_buckets=_ENV_DEFAULT, n_iter_buckets=_ENV_DEFAULT,
                  warmup=_ENV_DEFAULT):
@@ -101,6 +102,13 @@ class GenerationService:
         self.transformer = transformer or DiffusionTransformer(cfg or LTDConfig())
         if microbatch is None and os.getenv("SERVE_MICROBATCH"):
             microbatch = int(os.environ["SERVE_MICROBATCH"])
+        if max_wait_ms is _ENV_DEFAULT:
+            # editing bursts arrive staggered (per-request VAE encode in
+            # the calling thread runs before enqueue); raise this to
+            # ~1000 when serving editing-heavy traffic so a burst
+            # coalesces into one pad bucket (measured: docs/DESIGN.md
+            # serving section, bench_serving.py --editing)
+            max_wait_ms = float(os.getenv("SERVE_MICROBATCH_WAIT_MS", "25"))
         # finite timeout so a wedged device call fails the one request
         # with TimeoutError instead of blocking every HTTP worker thread
         # forever (first-compile of a new bucket can take minutes on a
