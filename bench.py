@@ -397,6 +397,7 @@ def main():
     golden_stats = {}
     if on_tpu:
         exact_mode = cli.quantize is None and cli.cache_interval == 1
+        failures = []
         try:
             from transformer_latent_diffusion_tpu.utils.goldens import (
                 audit_tpu_numerics,
@@ -405,11 +406,18 @@ def main():
             golden_stats, failures = audit_tpu_numerics(
                 quantize=cli.quantize, cache_interval=cli.cache_interval,
                 log=log)
-            assert not failures, "; ".join(failures)
         except Exception as e:
+            # infrastructure failure running the audit: fatal for the
+            # exact path, logged for lossy opt-in runs
             log(f"golden check failed: {type(e).__name__}: {e}")
             if exact_mode:
                 raise
+        # budget violations raise REGARDLESS of mode: the audit already
+        # scoped `failures` to the legs that apply (lossy runs report
+        # their engine legs without asserting, but leg 1 — f32 vs CPU
+        # golden — is precision-independent and must never be swallowed
+        # by a --quantize run)
+        assert not failures, "; ".join(failures)
 
     metric = "256px_imgs_per_sec_per_chip_50step_ddim_b32_incl_vae"
     if cli.quantize:

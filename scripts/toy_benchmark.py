@@ -142,7 +142,10 @@ def clip_features_fn(img: int = IMG, seed: int = 0):
                 np.asarray(lat[i: i + batch], np.float32)))
             imgs = np.tanh(imgs / 2.0)  # smooth squash, no hard clip
             imgs = np.transpose(imgs, (0, 2, 3, 1))  # NCHW -> NHWC float
-            out.append(clip_image_features(imgs, vision, batch_size=256))
+            # explicit pm1: tanh output is [-1,1] by construction, and
+            # per-chunk auto-detection could scale chunks inconsistently
+            out.append(clip_image_features(imgs, vision, batch_size=256,
+                                           input_range="pm1"))
         return np.concatenate(out, axis=0)
 
     return feats
@@ -205,6 +208,9 @@ def score_replicates(bench: Benchmark, sample_fn, n_eval: int = N_EVAL,
     if clip_feats is None:
         clip_feats = clip_features_fn(bench.img)
     lat_fids, clip_fids, mses = [], [], []
+    truth_cache = getattr(bench, "_truth_feat_cache", None)
+    if truth_cache is None:
+        truth_cache = bench._truth_feat_cache = {}
     for rep in range(n_replicates):
         labels, truth, seed = bench.eval_set(rep, n_eval)
         lat = np.asarray(sample_fn(labels, seed), np.float32)
@@ -214,7 +220,12 @@ def score_replicates(bench: Benchmark, sample_fn, n_eval: int = N_EVAL,
         # tower's output is a tiny signal on a large constant component,
         # and FID on the raw features is numerically dead (see
         # clip_features_fn docstring)
-        ft = clip_feats(truth)
+        key = (rep, n_eval, id(clip_feats))
+        if key not in truth_cache:
+            # the truth set is deterministic per (rep, n_eval) — every
+            # variant in a probe shares it, so extract its features once
+            truth_cache[key] = clip_feats(truth)
+        ft = truth_cache[key]
         mu, sd = ft.mean(0), ft.std(0) + 1e-6
         z = lambda f: (f - mu) / sd  # noqa: E731
         clip_fids.append(compute_fid(z(ft), z(clip_feats(lat))))

@@ -553,3 +553,23 @@ def test_microbatch_wait_env_knob(monkeypatch):
         assert svc2.batcher.max_wait_ms == 10.0
     finally:
         svc2.batcher.close()
+
+
+def test_effective_n_iter_coerces_integral_floats():
+    """A raw-JSON (WSGI) request may carry n_iter as 4.0; the snapped
+    step count must still surface via X-Effective-N-Iter exactly like
+    the pydantic frontend, which coerces 4.0 -> 4 (review r4)."""
+    from tests.test_diffusion import tiny_ltd_config
+    from transformer_latent_diffusion_tpu.sampling import (
+        DiffusionTransformer,
+    )
+    from transformer_latent_diffusion_tpu.serve.app import GenerationService
+
+    svc = GenerationService(transformer=DiffusionTransformer(
+        tiny_ltd_config()), n_iter_buckets=(3, 5))
+    assert svc.effective_n_iter(4) == 5
+    assert svc.effective_n_iter(4.0) == 5
+    assert svc.effective_n_iter(5.0) == 5
+    assert svc.effective_n_iter(200.0) == 5  # largest-bucket cap
+    assert svc.effective_n_iter(4.5) is None   # non-integral: 422 upstream
+    assert svc.effective_n_iter(True) is None  # bools are not step counts

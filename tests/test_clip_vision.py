@@ -149,6 +149,19 @@ def test_preprocess_images_shapes_and_range():
     b = preprocess_images(x01 * 2.0 - 1.0, image_size=32)
     np.testing.assert_allclose(a, b, atol=1e-5)
 
+    # explicit input_range: an all-bright [-1,1] frame (every pixel
+    # >= 0) is indistinguishable from [0,1] to the auto-detector —
+    # declaring "pm1" rescales it anyway
+    bright01 = 0.5 + 0.5 * rng.random((1, 32, 32, 3)).astype(np.float32)
+    auto = preprocess_images(bright01 * 2.0 - 1.0, image_size=32)
+    pm1 = preprocess_images(bright01 * 2.0 - 1.0, image_size=32,
+                            input_range="pm1")
+    want = preprocess_images(bright01, image_size=32, input_range="01")
+    np.testing.assert_allclose(pm1, want, atol=1e-5)
+    assert np.abs(auto - want).max() > 0.1  # the ambiguity is real
+    with pytest.raises(ValueError):
+        preprocess_images(x01, image_size=32, input_range="0-255")
+
 
 def test_clip_image_features_ragged_batches():
     from transformer_latent_diffusion_tpu.utils.clip_eval import (

@@ -174,14 +174,23 @@ CLIP_IMAGE_MEAN = (0.48145466, 0.4578275, 0.40821073)
 CLIP_IMAGE_STD = (0.26862954, 0.26130258, 0.27577711)
 
 
-def preprocess_images(images, image_size: int = 224) -> np.ndarray:
+def preprocess_images(images, image_size: int = 224,
+                      input_range: str | None = None) -> np.ndarray:
     """CLIP image preprocessing: (list of PIL) or uint8/float (N, H, W, 3)
     -> normalized float32 (N, image_size, image_size, 3).
 
     Resize shorter side to `image_size` (bicubic, jax.image.resize — a
     close stand-in for torchvision's bicubic), center crop, scale to
     [0, 1], normalize with the CLIP mean/std. Square inputs resize
-    directly (the generation pipeline always produces squares)."""
+    directly (the generation pipeline always produces squares).
+
+    `input_range` declares how FLOAT inputs are scaled: "01" ([0, 1]),
+    "pm1" ([-1, 1], the VAE's native range), or None (auto-detect:
+    any value < -0.01 selects pm1). Auto-detection is batch-global and
+    inherently ambiguous for all-bright [-1, 1] images (a frame with
+    every pixel >= 0 is indistinguishable from a [0, 1] frame) —
+    callers that KNOW their range should say so. Integer inputs are
+    always /255 regardless."""
     if not isinstance(images, np.ndarray):
         try:  # a single PIL image or a list of them
             import PIL.Image
@@ -195,10 +204,13 @@ def preprocess_images(images, image_size: int = 224) -> np.ndarray:
         images = images[None]
     if images.shape[-1] != 3:
         raise ValueError(f"expected NHWC RGB, got {images.shape}")
+    if input_range not in (None, "01", "pm1"):
+        raise ValueError(f"input_range must be '01', 'pm1' or None, "
+                         f"got {input_range!r}")
     x = images.astype(np.float32)
     if np.issubdtype(images.dtype, np.integer) or x.max() > 1.5:
         x = x / 255.0
-    elif x.min() < -0.01:
+    elif input_range == "pm1" or (input_range is None and x.min() < -0.01):
         # float inputs in [-1, 1] (the VAE's native range) would be
         # silently clipped at 0 below, corrupting CLIP features/FID —
         # rescale to [0, 1] instead (ADVICE r3)

@@ -75,10 +75,18 @@ class GenerationService:
         Frontends surface this as an X-Effective-N-Iter response header
         when it differs from the requested value, so a client capped at
         the largest bucket can detect the quality change (ADVICE r3)."""
-        if self.n_iter_buckets and isinstance(n_iter, int) \
-                and not isinstance(n_iter, bool):
+        if isinstance(n_iter, bool):
+            return None
+        if isinstance(n_iter, float) and n_iter.is_integer():
+            # pydantic lax-mode parity: the FastAPI frontend coerces an
+            # integral JSON float (4.0 -> 4) and emits the header; the
+            # raw-JSON WSGI path must not silently drop it
+            n_iter = int(n_iter)
+        if not isinstance(n_iter, int):
+            return None
+        if self.n_iter_buckets:
             return self._snap_up(n_iter, self.n_iter_buckets)
-        return n_iter if isinstance(n_iter, int) else None
+        return n_iter
 
     @staticmethod
     def _snap_up(value: int, buckets) -> int:

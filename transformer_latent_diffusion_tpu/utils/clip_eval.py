@@ -19,13 +19,19 @@ from typing import Sequence, Union
 import numpy as np
 
 
-def clip_image_features(images, vision, batch_size: int = 32) -> np.ndarray:
+def clip_image_features(images, vision, batch_size: int = 32,
+                        input_range: str | None = None) -> np.ndarray:
     """Images (PIL list, or uint8/float NHWC array) -> (N, D) CLIP image
     embeddings via FlaxClipVision, batched through one compiled program
-    (ragged tail zero-padded to `batch_size` and sliced back)."""
+    (ragged tail zero-padded to `batch_size` and sliced back).
+    `input_range` ("01"/"pm1"/None=auto) declares float scaling — see
+    models.clip.preprocess_images; callers chunking [-1,1] decodes
+    should pass "pm1" so an all-bright chunk can't auto-detect as
+    [0,1]."""
     from transformer_latent_diffusion_tpu.models.clip import preprocess_images
 
-    pixels = preprocess_images(images, vision.module.image_size)
+    pixels = preprocess_images(images, vision.module.image_size,
+                               input_range=input_range)
     n = pixels.shape[0]
     feats = []
     for i in range(0, n, batch_size):
