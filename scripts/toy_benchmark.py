@@ -208,9 +208,14 @@ def score_replicates(bench: Benchmark, sample_fn, n_eval: int = N_EVAL,
     if clip_feats is None:
         clip_feats = clip_features_fn(bench.img)
     lat_fids, clip_fids, mses = [], [], []
-    truth_cache = getattr(bench, "_truth_feat_cache", None)
+    # the truth-feature cache lives ON the clip_feats closure, so its
+    # lifetime is tied to the extractor: keying a bench-level dict by
+    # id(clip_feats) risked a stale hit when a GC'd closure's id was
+    # reused by a different extractor (ADVICE r4)
+    truth_cache = getattr(clip_feats, "_truth_feat_cache", None)
     if truth_cache is None:
-        truth_cache = bench._truth_feat_cache = {}
+        truth_cache = {}
+        clip_feats._truth_feat_cache = truth_cache
     for rep in range(n_replicates):
         labels, truth, seed = bench.eval_set(rep, n_eval)
         lat = np.asarray(sample_fn(labels, seed), np.float32)
@@ -220,7 +225,7 @@ def score_replicates(bench: Benchmark, sample_fn, n_eval: int = N_EVAL,
         # tower's output is a tiny signal on a large constant component,
         # and FID on the raw features is numerically dead (see
         # clip_features_fn docstring)
-        key = (rep, n_eval, id(clip_feats))
+        key = (rep, n_eval)
         if key not in truth_cache:
             # the truth set is deterministic per (rep, n_eval) — every
             # variant in a probe shares it, so extract its features once

@@ -333,6 +333,29 @@ def test_generate_image_solver_knobs(client):
     assert r["status"] == 200, r
 
 
+def test_int_field_typing_contract(client):
+    """Int-typed request fields follow pydantic v2 lax coercion on BOTH
+    frontends (ADVICE r4: the WSGI path previously passed a 4.5 n_iter
+    straight through, silently changing the served step count with no
+    X-Effective-N-Iter header): non-integral values 422, integral
+    floats / numeric strings coerce."""
+    token = os.getenv("API_TOKEN")
+    auth = {"Authorization": f"Bearer {token}"}
+    for bad in ({"n_iter": 4.5}, {"n_iter": "abc"}, {"seed": 1.25},
+                {"num_imgs": "x"}, {"best_of": 2.5},
+                {"cache_interval": 1.5}):
+        r = client.post_json("/generate-image/", {"prompt": "x", **bad},
+                             headers=auth)
+        assert r["status"] == 422, (bad, r)
+    # integral float / numeric string coerce (pydantic v2 lax mode)
+    r = client.post_json(
+        "/generate-image/",
+        {"prompt": "a cute cat", "n_iter": 4.0, "seed": "7"},
+        headers=auth)
+    assert r["status"] == 200, r
+    assert PIL.Image.open(io.BytesIO(r["body"])).format == "JPEG"
+
+
 @pytest.mark.parametrize("frontend", ["wsgi", "fastapi"])
 def test_effective_n_iter_header(frontend):
     """n_iter bucketing is visible to clients: when the served step

@@ -162,6 +162,20 @@ def test_preprocess_images_shapes_and_range():
     with pytest.raises(ValueError):
         preprocess_images(x01, image_size=32, input_range="0-255")
 
+    # an explicit declaration beats the /255 magnitude heuristic
+    # (ADVICE r4): an unclamped VAE decode overshooting [-1,1] (here a
+    # pixel at 1.7) must NOT be divided by 255 when declared pm1
+    over = bright01 * 2.0 - 1.0
+    over[0, 0, 0, 0] = 1.7
+    pm1_over = preprocess_images(over, image_size=32, input_range="pm1")
+    want_over = preprocess_images(np.clip((over + 1) / 2, 0, 1),
+                                  image_size=32, input_range="01")
+    np.testing.assert_allclose(pm1_over, want_over, atol=1e-5)
+    # ... and grossly violated declarations fail loudly (0-255 floats)
+    with pytest.raises(ValueError, match="declared"):
+        preprocess_images(imgs.astype(np.float32), image_size=32,
+                          input_range="pm1")
+
 
 def test_clip_image_features_ragged_batches():
     from transformer_latent_diffusion_tpu.utils.clip_eval import (

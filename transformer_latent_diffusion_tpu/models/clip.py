@@ -186,10 +186,12 @@ def preprocess_images(images, image_size: int = 224,
 
     `input_range` declares how FLOAT inputs are scaled: "01" ([0, 1]),
     "pm1" ([-1, 1], the VAE's native range), or None (auto-detect:
-    any value < -0.01 selects pm1). Auto-detection is batch-global and
-    inherently ambiguous for all-bright [-1, 1] images (a frame with
-    every pixel >= 0 is indistinguishable from a [0, 1] frame) —
-    callers that KNOW their range should say so. Integer inputs are
+    any value < -0.01 selects pm1, any value > 1.5 selects 0-255).
+    Auto-detection is batch-global and inherently ambiguous for
+    all-bright [-1, 1] images (a frame with every pixel >= 0 is
+    indistinguishable from a [0, 1] frame) — callers that KNOW their
+    range should say so. An explicit declaration overrides every
+    heuristic (values grossly outside it raise); integer inputs are
     always /255 regardless."""
     if not isinstance(images, np.ndarray):
         try:  # a single PIL image or a list of them
@@ -208,9 +210,25 @@ def preprocess_images(images, image_size: int = 224,
         raise ValueError(f"input_range must be '01', 'pm1' or None, "
                          f"got {input_range!r}")
     x = images.astype(np.float32)
-    if np.issubdtype(images.dtype, np.integer) or x.max() > 1.5:
+    if np.issubdtype(images.dtype, np.integer):
         x = x / 255.0
-    elif input_range == "pm1" or (input_range is None and x.min() < -0.01):
+    elif input_range is not None:
+        # an explicit declaration wins over the magnitude heuristic: an
+        # unclamped VAE decode can overshoot [-1, 1] slightly, and the
+        # old `x.max() > 1.5 -> /255` check ran first, silently
+        # rescaling a declared-pm1 batch per-chunk (ADVICE r4). Gross
+        # violations still fail loudly — a [0, 255] float batch declared
+        # "pm1"/"01" is a caller bug, not an overshoot.
+        if np.abs(x).max() > 4.0:
+            raise ValueError(
+                f"float input declared input_range={input_range!r} has "
+                f"values in [{x.min():.3g}, {x.max():.3g}] — looks like "
+                f"0-255 data; pass integers or drop input_range")
+        if input_range == "pm1":
+            x = (x + 1.0) / 2.0
+    elif x.max() > 1.5:
+        x = x / 255.0
+    elif x.min() < -0.01:
         # float inputs in [-1, 1] (the VAE's native range) would be
         # silently clipped at 0 below, corrupting CLIP features/FID —
         # rescale to [0, 1] instead (ADVICE r3)

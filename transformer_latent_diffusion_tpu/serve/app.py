@@ -403,6 +403,39 @@ REQUEST_DEFAULTS = {"class_guidance": 6, "seed": 11, "num_imgs": 1,
 NON_NULLABLE_FIELDS = ("prompt", "class_guidance", "seed", "num_imgs",
                        "img_size", "n_iter", "cache_interval", "schedule",
                        "cfg_rescale")
+# fields pydantic types as int / Optional[int]: wrong-typed values 422 on
+# the FastAPI frontend, so the raw-JSON WSGI frontend must match
+INT_FIELDS = ("class_guidance", "seed", "num_imgs", "img_size", "n_iter",
+              "cache_interval", "seed_b", "best_of")
+
+
+def _validate_int_fields(payload: dict) -> Optional[str]:
+    """Mirror pydantic v2 lax-mode int coercion on the WSGI frontend:
+    ints pass, bools / integral floats / numeric strings coerce exactly
+    like pydantic 2.x does (written back into the payload), non-integral
+    values are a 422. Previously a 4.5 n_iter passed straight to
+    _snap_up — the request ran with a silently changed step count and no
+    X-Effective-N-Iter header, diverging from the FastAPI frontend
+    (ADVICE r4)."""
+    for k in INT_FIELDS:
+        v = payload.get(k)
+        if v is None:
+            continue
+        if isinstance(v, bool):  # pydantic v2 lax: True -> 1
+            payload[k] = int(v)
+            continue
+        if isinstance(v, int):
+            continue
+        if isinstance(v, str):
+            try:
+                v = float(v)
+            except ValueError:
+                return f"{k} must be an integer"
+        if isinstance(v, float) and v.is_integer():
+            payload[k] = int(v)
+        else:
+            return f"{k} must be an integer"
+    return None
 
 
 def _validate_solver_fields(payload: dict) -> Optional[str]:
@@ -499,6 +532,10 @@ def create_wsgi_app(cfg: Optional[LTDConfig] = None, service=None):
                 if "prompt" not in payload:
                     return respond(
                         422, json.dumps({"detail": "prompt is required"}).encode())
+                int_err = _validate_int_fields(payload)
+                if int_err:
+                    return respond(
+                        422, json.dumps({"detail": int_err}).encode())
                 if (payload.get("init_image") is None
                         and (payload.get("mask") is not None
                              or payload.get("strength") is not None)):
