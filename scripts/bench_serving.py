@@ -10,8 +10,15 @@ and reports imgs/sec and per-request latency for
 one batcher group; round-4 coalescing, VERDICT r3 #8): per-request VAE
 encodes happen in the calling threads, the denoise scans coalesce.
 
+--burst benches backpressure (VERDICT r4 #4): a one-shot burst of 4x
+the device batch capacity, bounded queue vs unbounded. The bounded run
+sheds the overflow instantly with QueueFull (the HTTP frontends turn
+that into 503 + Retry-After) and keeps the p99 of ACCEPTED requests at
+~queue_limit/capacity scan rounds; the unbounded run accepts everything
+and the p99 grows to burst/capacity rounds.
+
 Usage: python scripts/bench_serving.py [--requests 16] [--n-iter 50]
-       [--editing]
+       [--editing | --burst]
 """
 
 from __future__ import annotations
@@ -34,6 +41,11 @@ def main():
     ap.add_argument("--editing", action="store_true",
                     help="bench concurrent img2img requests (strength "
                          "0.5) instead of text-to-image")
+    ap.add_argument("--burst", action="store_true",
+                    help="bench backpressure: 4x-capacity burst, "
+                         "bounded vs unbounded queue")
+    ap.add_argument("--capacity", type=int, default=8,
+                    help="--burst: device batch size (burst = 4x this)")
     args = ap.parse_args()
 
     from transformer_latent_diffusion_tpu.configs import (
@@ -53,6 +65,10 @@ def main():
     cfg.denoiser_load.dtype = "bfloat16" if on_tpu else "float32"
     print("building pipeline...", flush=True)
     tr = DiffusionTransformer(cfg)
+
+    if args.burst:
+        run_burst(tr, args)
+        return
 
     n = args.requests
     prompts = [f"a cute cat number {i}" for i in range(n)]
@@ -134,6 +150,60 @@ def main():
           f"p100 {max(lat) * 1e3:.0f} ms)", flush=True)
     print(f"speedup: {dt_solo / dt_b:.2f}x", flush=True)
     mb.close()
+
+
+def run_burst(tr, args):
+    """Backpressure measurement (VERDICT r4 #4): fire 4x-capacity
+    concurrent requests at a bounded and an unbounded batcher; report
+    accepted/shed counts and the accepted-latency percentiles."""
+    from transformer_latent_diffusion_tpu.serve.batcher import MicroBatcher
+    from transformer_latent_diffusion_tpu.serve.errors import QueueFull
+
+    cap = args.capacity
+    burst_n = 4 * cap
+
+    def one_burst(max_queue_imgs, label):
+        # single pad bucket == capacity, so exactly one scan compiles
+        mb = MicroBatcher(tr, max_batch=cap, max_wait_ms=100.0,
+                          buckets=(cap,), max_queue_imgs=max_queue_imgs)
+        try:
+            print(f"[{label}] warmup...", flush=True)
+            mb.generate("warmup", n_iter=args.n_iter, timeout=1800)
+            lat, shed_lat = [], []
+
+            def run(i):
+                t = time.time()
+                try:
+                    mb.generate(f"a cute cat number {i}", seed=i,
+                                n_iter=args.n_iter, timeout=1800)
+                    lat.append(time.time() - t)
+                except QueueFull:
+                    shed_lat.append(time.time() - t)
+
+            ts = [threading.Thread(target=run, args=(i,))
+                  for i in range(burst_n)]
+            t0 = time.time()
+            for t in ts:
+                t.start()
+            for t in ts:
+                t.join()
+            wall = time.time() - t0
+        finally:
+            mb.close()
+        lat.sort()
+        q = lambda v, p: v[min(len(v) - 1, int(p * len(v)))] if v else 0.0  # noqa: E731
+        print(f"[{label}] burst {burst_n} reqs @ capacity {cap}: "
+              f"accepted {len(lat)}, shed {len(shed_lat)} "
+              f"(503 in {max(shed_lat) * 1e3 if shed_lat else 0:.0f} ms max); "
+              f"accepted p50 {q(lat, 0.5):.2f}s p99 {q(lat, 0.99):.2f}s "
+              f"max {q(lat, 1.0):.2f}s; wall {wall:.2f}s", flush=True)
+        return q(lat, 0.99), len(shed_lat)
+
+    p99_unbounded, _ = one_burst(0, "unbounded")
+    p99_bounded, shed = one_burst(2 * cap, f"bounded {2 * cap}")
+    print(f"p99 bounded/unbounded: {p99_bounded:.2f}/{p99_unbounded:.2f}s "
+          f"({p99_bounded / max(p99_unbounded, 1e-9):.2f}x), "
+          f"shed {shed}/{burst_n}", flush=True)
 
 
 if __name__ == "__main__":

@@ -596,3 +596,71 @@ def test_effective_n_iter_coerces_integral_floats():
     assert svc.effective_n_iter(200.0) == 5  # largest-bucket cap
     assert svc.effective_n_iter(4.5) is None   # non-integral: 422 upstream
     assert svc.effective_n_iter(True) is None  # bools are not step counts
+
+
+@pytest.mark.parametrize("frontend", ["wsgi", "fastapi"])
+def test_queue_full_returns_503_with_retry_after(frontend):
+    """Micro-batcher backpressure surfaces over HTTP (VERDICT r4 #4):
+    when the bounded queue is at capacity the service sheds the request
+    with 503 + Retry-After on BOTH frontends instead of queueing it."""
+    import threading
+    import time
+
+    os.environ.setdefault("API_TOKEN", "test-token")
+    from tests.test_diffusion import tiny_ltd_config
+    from transformer_latent_diffusion_tpu.sampling import (
+        DiffusionTransformer,
+    )
+    from transformer_latent_diffusion_tpu.serve.app import GenerationService
+
+    dt = DiffusionTransformer(tiny_ltd_config())
+    gate = threading.Event()
+    orig_generate = dt.diffuser.generate
+
+    def gated(*a, **kw):
+        gate.wait(30)
+        return orig_generate(*a, **kw)
+
+    dt.diffuser.generate = gated
+    svc = GenerationService(transformer=dt, microbatch=1, max_wait_ms=5.0,
+                            max_queue_imgs=1)
+    if frontend == "fastapi":
+        pytest.importorskip("fastapi")
+        from transformer_latent_diffusion_tpu.serve.app import (
+            create_fastapi_app,
+        )
+
+        cl = AsgiClient(create_fastapi_app(service=svc))
+    else:
+        cl = WsgiClient(create_wsgi_app(service=svc))
+    auth = {"Authorization": f"Bearer {os.environ['API_TOKEN']}"}
+    try:
+        first = {}
+
+        def hold():
+            first.update(cl.post_json(
+                "/generate-image/", {"prompt": "hold", "n_iter": 4},
+                headers=auth))
+
+        t = threading.Thread(target=hold)
+        t.start()
+        for _ in range(300):
+            if svc.batcher.queue_depth() == 1:
+                break
+            time.sleep(0.01)
+        assert svc.batcher.queue_depth() == 1
+        r = cl.post_json("/generate-image/",
+                         {"prompt": "shed me", "n_iter": 4}, headers=auth)
+        assert r["status"] == 503, r
+        assert int(r["headers"]["Retry-After"]) >= 1
+        assert "queue full" in json.loads(r["body"])["detail"]
+        # queue depth is visible on the health probe
+        h = json.loads(cl.get("/healthz")["body"])
+        assert h["queue_imgs"] == 1 and h["queue_limit"] == 1
+        gate.set()
+        t.join()
+        assert first["status"] == 200  # the held request still completed
+    finally:
+        gate.set()
+        svc.batcher.close()
+        dt.diffuser.generate = orig_generate

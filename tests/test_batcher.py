@@ -10,6 +10,8 @@ preserve exact single-request determinism.
 import io
 import threading
 
+import pytest
+
 import numpy as np
 import PIL.Image
 
@@ -342,3 +344,95 @@ def test_service_editing_rides_batcher():
         assert seen == [True], seen
     finally:
         svc.batcher.close()
+
+
+def test_microbatcher_backpressure_queue_full():
+    """Bounded queue (VERDICT r4 #4): once queued+in-flight images reach
+    max_queue_imgs, generate() sheds load with QueueFull immediately
+    instead of queueing; capacity is returned as requests complete."""
+    import time
+
+    from transformer_latent_diffusion_tpu.serve.errors import QueueFull
+
+    tr = _tiny_transformer()
+    gate = threading.Event()
+    orig_generate = tr.diffuser.generate
+
+    def gated_generate(*a, **kw):
+        gate.wait(30)
+        return orig_generate(*a, **kw)
+
+    tr.diffuser.generate = gated_generate
+    mb = MicroBatcher(tr, max_batch=1, max_wait_ms=5.0, max_queue_imgs=2)
+    try:
+        results, errors = [], []
+
+        def run():
+            try:
+                results.append(mb.generate("x", n_iter=4, timeout=60))
+            except BaseException as e:
+                errors.append(e)
+
+        threads = [threading.Thread(target=run) for _ in range(2)]
+        for t in threads:
+            t.start()
+        # wait for both to hold budget (one in flight, one queued)
+        for _ in range(200):
+            if mb.queue_depth() == 2:
+                break
+            time.sleep(0.01)
+        assert mb.queue_depth() == 2
+        with pytest.raises(QueueFull):
+            mb.generate("overflow", n_iter=4)
+        gate.set()
+        for t in threads:
+            t.join()
+        assert not errors, errors
+        assert len(results) == 2
+        assert mb.queue_depth() == 0  # budget fully returned
+        # capacity is back: a new request succeeds
+        assert isinstance(mb.generate("y", n_iter=4, timeout=60),
+                          PIL.Image.Image)
+        assert mb.queue_depth() == 0
+    finally:
+        gate.set()
+        mb.close()
+        tr.diffuser.generate = orig_generate
+
+
+def test_microbatcher_backpressure_release_on_timeout_and_close():
+    """Cancelled (timed-out) and close-drained requests return their
+    budget exactly once — the bound must not leak capacity."""
+    import time
+
+    tr = _tiny_transformer()
+    gate = threading.Event()
+    orig_generate = tr.diffuser.generate
+    tr.diffuser.generate = lambda *a, **kw: (gate.wait(30),
+                                             orig_generate(*a, **kw))[1]
+    mb = MicroBatcher(tr, max_batch=2, max_wait_ms=5.0, max_queue_imgs=4)
+    try:
+        holder = threading.Thread(
+            target=lambda: mb.generate("hold", n_iter=4, timeout=60))
+        holder.start()
+        for _ in range(200):
+            if mb.queue_depth() == 1:
+                break
+            time.sleep(0.01)
+        # a queued request that times out releases its budget when the
+        # worker reaches (and skips) it
+        with pytest.raises(TimeoutError):
+            mb.generate("late", n_iter=4, num_imgs=2, timeout=0.05)
+        assert mb.queue_depth() == 3  # still held until worker skips it
+        gate.set()
+        holder.join()
+        for _ in range(400):
+            if mb.queue_depth() == 0:
+                break
+            time.sleep(0.01)
+        assert mb.queue_depth() == 0
+    finally:
+        gate.set()
+        mb.close()
+        tr.diffuser.generate = orig_generate
+    assert mb.queue_depth() == 0

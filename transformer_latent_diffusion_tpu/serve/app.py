@@ -30,6 +30,7 @@ import os
 from typing import Optional
 
 from transformer_latent_diffusion_tpu.configs import LTDConfig
+from transformer_latent_diffusion_tpu.serve.errors import QueueFull
 
 # sentinel: "use the SERVE_*_BUCKETS env var, else the class default"
 _ENV_DEFAULT = object()
@@ -104,7 +105,7 @@ class GenerationService:
                  max_wait_ms=_ENV_DEFAULT,
                  request_timeout_s: Optional[float] = None,
                  num_imgs_buckets=_ENV_DEFAULT, n_iter_buckets=_ENV_DEFAULT,
-                 warmup=_ENV_DEFAULT):
+                 warmup=_ENV_DEFAULT, max_queue_imgs: Optional[int] = None):
         from transformer_latent_diffusion_tpu.sampling import DiffusionTransformer
 
         self.transformer = transformer or DiffusionTransformer(cfg or LTDConfig())
@@ -140,7 +141,8 @@ class GenerationService:
 
             self.batcher = MicroBatcher(self.transformer,
                                         max_batch=microbatch,
-                                        max_wait_ms=max_wait_ms)
+                                        max_wait_ms=max_wait_ms,
+                                        max_queue_imgs=max_queue_imgs)
         import threading
 
         self._stats_lock = threading.Lock()
@@ -197,10 +199,26 @@ class GenerationService:
                                and self._warmup_thread.is_alive())
                            else "ok"),
                 "microbatch": bool(self.batcher)}
+        if self.batcher is not None:
+            info["queue_imgs"] = self.batcher.queue_depth()
+            info["queue_limit"] = self.batcher.max_queue_imgs
         info.update(self._device_info)
         with self._stats_lock:
             info.update(self._stats)
         return info
+
+    def retry_after_hint(self) -> int:
+        """Seconds a shed (503) client should wait before retrying: the
+        service's observed mean request latency, floored at 1s (2s cold,
+        before any request has completed)."""
+        import math
+
+        with self._stats_lock:
+            n = self._stats["requests"] - self._stats["errors"]
+            if n > 0:
+                return max(1, math.ceil(
+                    self._stats["generate_seconds"] / n))
+        return 2
 
     def generate_jpeg(self, prompt: str, num_imgs: int = 1,
                       **kwargs) -> bytes:
@@ -507,7 +525,8 @@ def create_wsgi_app(cfg: Optional[LTDConfig] = None, service=None):
                     extra_headers=()):
             reasons = {200: "OK", 401: "Unauthorized", 404: "Not Found",
                        405: "Method Not Allowed", 422: "Unprocessable Entity",
-                       500: "Internal Server Error"}
+                       500: "Internal Server Error",
+                       503: "Service Unavailable"}
             headers = [("Content-Type", content_type),
                        ("Content-Length", str(len(body)))]
             headers.extend(extra_headers)
@@ -577,6 +596,13 @@ def create_wsgi_app(cfg: Optional[LTDConfig] = None, service=None):
                          else [])
                 return respond(200, jpeg, content_type="image/jpeg",
                                extra_headers=extra)
+            except QueueFull as e:
+                # bounded-queue load shedding (VERDICT r4 #4): tell the
+                # client when to come back instead of queueing unboundedly
+                return respond(
+                    503, json.dumps({"detail": str(e)}).encode(),
+                    extra_headers=[("Retry-After",
+                                    str(svc.retry_after_hint()))])
             except Exception as e:  # 500 semantics: reference app.py:64-65
                 return respond(500, json.dumps({"detail": str(e)}).encode())
 
@@ -693,6 +719,11 @@ def create_fastapi_app(cfg: Optional[LTDConfig] = None, service=None):
                        if eff is not None and eff != request.n_iter else None)
             return StreamingResponse(io.BytesIO(jpeg), media_type="image/jpeg",
                                      headers=headers)
+        except QueueFull as e:
+            # bounded-queue load shedding (VERDICT r4 #4)
+            raise HTTPException(
+                status_code=503, detail=str(e),
+                headers={"Retry-After": str(svc.retry_after_hint())})
         except Exception as e:
             raise HTTPException(status_code=500, detail=str(e))
 

@@ -21,6 +21,13 @@ Design:
     vs solo XLA scheduling perturbs float results slightly;
     tests/test_batcher.py asserts the ±1 bound).
 
+  * backpressure (VERDICT r4 #4): the queue is bounded by a total
+    image budget (`max_queue_imgs`, default 8x max_batch, env
+    SERVE_MICROBATCH_MAX_QUEUE). A request that would exceed it fails
+    fast with `QueueFull` — the HTTP frontends map that to 503 +
+    Retry-After — instead of growing client latency without bound
+    during a burst beyond device throughput.
+
 Thread-safety note: JAX dispatch is thread-safe, but all generation goes
 through the single worker thread anyway, serializing device use.
 """
@@ -28,6 +35,7 @@ through the single worker thread anyway, serializing device use.
 from __future__ import annotations
 
 import math
+import os
 import queue
 import threading
 import time
@@ -38,6 +46,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from transformer_latent_diffusion_tpu.serve.errors import QueueFull
 from transformer_latent_diffusion_tpu.utils import uint8_grid_to_pil
 
 DEFAULT_BUCKETS = (1, 2, 4, 8, 16, 32)
@@ -67,6 +76,9 @@ class _Request:
     cancelled: threading.Event = field(default_factory=threading.Event)
     result: Any = None
     error: Optional[BaseException] = None
+    # backpressure bookkeeping: True once this request's images have been
+    # returned to the queue budget (exactly once per request)
+    released: bool = False
 
 
 class MicroBatcher:
@@ -84,14 +96,29 @@ class MicroBatcher:
     buckets : sequence of int
         Batch sizes to pad to (ascending). One XLA program is compiled
         per bucket on first use.
+    max_queue_imgs : int, optional
+        Backpressure bound (VERDICT r4 #4): maximum images queued or
+        in flight before `generate` sheds load with `QueueFull` (the
+        frontends map it to 503 + Retry-After). Defaults to the
+        SERVE_MICROBATCH_MAX_QUEUE env var, else 8x max_batch; 0 or
+        negative disables the bound (the pre-round-5 unbounded
+        behaviour).
     """
 
     def __init__(self, transformer, max_batch: int = 32,
                  max_wait_ms: float = 25.0,
-                 buckets: Sequence[int] = DEFAULT_BUCKETS):
+                 buckets: Sequence[int] = DEFAULT_BUCKETS,
+                 max_queue_imgs: Optional[int] = None):
         self.transformer = transformer
         self.max_batch = int(max_batch)
         self.max_wait_ms = float(max_wait_ms)
+        if max_queue_imgs is None:
+            max_queue_imgs = int(os.getenv("SERVE_MICROBATCH_MAX_QUEUE",
+                                           str(8 * self.max_batch)))
+        self.max_queue_imgs = (int(max_queue_imgs)
+                               if max_queue_imgs and max_queue_imgs > 0
+                               else None)
+        self._queued_imgs = 0
         self.buckets = tuple(sorted(b for b in buckets if b <= max_batch))
         if not self.buckets or self.buckets[-1] != self.max_batch:
             self.buckets = tuple(
@@ -169,6 +196,12 @@ class MicroBatcher:
         with self._lock:
             if self._closed:
                 raise RuntimeError("MicroBatcher is closed")
+            if (self.max_queue_imgs is not None
+                    and self._queued_imgs + num_imgs > self.max_queue_imgs):
+                raise QueueFull(
+                    f"serving queue full ({self._queued_imgs} images "
+                    f"queued, limit {self.max_queue_imgs}); retry later")
+            self._queued_imgs += num_imgs
             self._queue.put(req)
         if not req.done.wait(timeout):
             # mark abandoned so the worker does not spend device batch
@@ -196,8 +229,23 @@ class MicroBatcher:
                 if r is not None:
                     r.error = RuntimeError("MicroBatcher is closed")
                     r.done.set()
+                    self._release(r)
 
     # ---------------------------------------------------------- worker --
+
+    def queue_depth(self) -> int:
+        """Images currently queued or in flight (observability)."""
+        with self._lock:
+            return self._queued_imgs
+
+    def _release(self, r: _Request):
+        """Return a request's images to the queue budget, exactly once
+        per request (called at every terminal point: served, errored,
+        cancelled-and-skipped, drained at close)."""
+        with self._lock:
+            if not r.released:
+                r.released = True
+                self._queued_imgs -= r.num_imgs
 
     def _run(self):
         # `carry` holds a request that didn't fit the previous cycle; it is
@@ -213,6 +261,7 @@ class MicroBatcher:
                 if first is None:
                     return
             if first.cancelled.is_set():
+                self._release(first)
                 continue
             batch = [first]
             n_imgs = first.num_imgs
@@ -229,6 +278,7 @@ class MicroBatcher:
                     self._queue.put(None)
                     break
                 if nxt.cancelled.is_set():
+                    self._release(nxt)
                     continue
                 if n_imgs + nxt.num_imgs > self.max_batch:
                     carry = nxt
@@ -242,7 +292,9 @@ class MicroBatcher:
             # guidance, init images) batches freely
             by_key = {}
             for r in batch:
-                if not r.cancelled.is_set():
+                if r.cancelled.is_set():
+                    self._release(r)
+                else:
                     kind = ("inpaint" if r.mask is not None else
                             "img2img" if r.init_latents is not None
                             else "t2i")
@@ -259,6 +311,9 @@ class MicroBatcher:
                         if not r.done.is_set():
                             r.error = e
                             r.done.set()
+                finally:
+                    for r in reqs:
+                        self._release(r)
 
     def _bucket(self, n: int) -> int:
         for b in self.buckets:
@@ -377,4 +432,8 @@ class MicroBatcher:
             off += r.num_imgs
             nrow = int(math.sqrt(r.num_imgs))
             r.result = uint8_grid_to_pil(imgs, nrow=nrow, padding=4)
+            # release BEFORE done.set(): capacity must be back the
+            # moment the waiting client unblocks (release is idempotent;
+            # the worker's finally covers error paths)
+            self._release(r)
             r.done.set()
