@@ -560,7 +560,8 @@ def main(config: ModelConfig, init_params: Optional[Any] = None) -> Dict[str, An
             f"extra_text_emb_paths ({len(extra_emb)}) must pair up")
     batchers = [batcher] + [
         LatentBatcher(lp, ep, batch_size=train_config.batch_size,
-                      seed=train_config.seed + 1 + i)
+                      seed=train_config.seed + 1 + i,
+                      holdout=train_config.val_holdout)
         for i, (lp, ep) in enumerate(zip(extra_lat, extra_emb))]
     if extra_lat and train_config.pipeline_parallel:
         raise ValueError("multi-resolution training does not compose with "
@@ -793,12 +794,21 @@ def main(config: ModelConfig, init_params: Optional[Any] = None) -> Dict[str, An
     # the EMA weights — the thing the eval grid and checkpoints use.
     # eval_model keeps it FSDP/TP-safe (no fused-VJP kernels needed for
     # a forward-only loss).
+    # every resolution bucket draws its own holdout (VERDICT r4 #7: a
+    # regression isolated to one bucket must be visible), evaluated
+    # with one jitted loss fn — one compiled program per latent grid,
+    # exactly like the train step. `val_losses` stays the native
+    # bucket's series (back-compat); per-bucket series are returned in
+    # `val_losses_by_size` and logged as `val_loss/<img_size>`.
     val_fn = None
     val_losses = []
+    val_losses_by_size = {}
+    val_sets = []
     if train_config.val_holdout > 0:
-        x_val_h, y_val_h = batcher.holdout_batch()
-        _val_x = jnp.asarray(x_val_h)
-        _val_y = jnp.asarray(y_val_h)
+        for b in batchers:
+            x_val_h, y_val_h = b.holdout_batch()
+            val_sets.append((int(x_val_h.shape[-1]),
+                             jnp.asarray(x_val_h), jnp.asarray(y_val_h)))
         _val_rng = jax.random.PRNGKey(train_config.seed + 1_000_003)
         val_fn = jax.jit(build_loss_fn(
             eval_model, train_config, config.vae_cfg.vae_scale_factor))
@@ -848,15 +858,22 @@ def main(config: ModelConfig, init_params: Optional[Any] = None) -> Dict[str, An
                         wandb_run.log(
                             {f"step: {global_step}": wandb.Image(img_path)})
                     if val_fn is not None:
-                        val_loss = float(val_fn(
-                            state["ema_params"], _val_x, _val_y, _val_rng))
-                        val_losses.append((global_step, val_loss))
+                        val_rec = {}
+                        for bi, (size, vx, vy) in enumerate(val_sets):
+                            val_loss = float(val_fn(
+                                state["ema_params"], vx, vy, _val_rng))
+                            if bi == 0:
+                                val_losses.append((global_step, val_loss))
+                                val_rec["val_loss"] = val_loss
+                            val_losses_by_size.setdefault(size, []).append(
+                                (global_step, val_loss))
+                            val_rec[f"val_loss/{size}"] = val_loss
                         if wandb_run is not None:
-                            wandb_run.log({"val_loss": val_loss},
-                                          step=global_step)
+                            wandb_run.log(val_rec, step=global_step)
                         else:
-                            log(f"step {global_step} val_loss "
-                                f"{val_loss:.5f}")
+                            log(f"step {global_step} " + " ".join(
+                                f"{k} {v:.5f}"
+                                for k, v in val_rec.items()))
                 if train_config.save_model and ckpt_mgr is not None:
                     # snapshot on device (cheap) and save asynchronously:
                     # the train step donates `state`'s buffers, so orbax
@@ -893,17 +910,26 @@ def main(config: ModelConfig, init_params: Optional[Any] = None) -> Dict[str, An
                 if wandb_run is not None:
                     sps = timer.samples_per_sec(train_config.batch_size)
                     recent = losses[-16:]
+                    # grad norms align 1:1 with losses when traced —
+                    # stream them on the same flush (VERDICT r4 #7: the
+                    # flagship probe showed grad norms are the signal
+                    # that catches instability; they must reach wandb)
+                    recent_g = (grad_norms[-len(recent):]
+                                if grad_norms else None)
                     base = global_step - len(recent) + 1
                     for i, dev_loss in enumerate(recent):
-                        wandb_run.log(
-                            {"train_loss": float(dev_loss),
-                             "samples_per_sec": sps},
-                            step=base + i)
+                        rec = {"train_loss": float(dev_loss),
+                               "samples_per_sec": sps}
+                        if recent_g is not None:
+                            rec["grad_norm"] = float(recent_g[i])
+                        wandb_run.log(rec, step=base + i)
                 elif global_step % 256 == 0 and global_step > 0:
+                    gn = (f" grad_norm {float(grad_norms[-1]):.3f}"
+                          if grad_norms else "")
                     log(f"step {global_step} loss {losses[-1]:.5f} "
                         f"{timer.step_ms:.0f} ms/step "
                         f"{timer.samples_per_sec(train_config.batch_size):.0f}"
-                        " samples/s")
+                        f" samples/s{gn}")
 
     shutdown.__exit__()
     if shutdown.requested:
@@ -922,5 +948,5 @@ def main(config: ModelConfig, init_params: Optional[Any] = None) -> Dict[str, An
     if losses:
         log(f"final loss {np.mean(losses[-10:]):.5f}")
     return {"state": state, "losses": losses, "global_step": global_step,
-            "val_losses": val_losses, "grad_norms": grad_norms,
-            "preempted": shutdown.requested}
+            "val_losses": val_losses, "val_losses_by_size": val_losses_by_size,
+            "grad_norms": grad_norms, "preempted": shutdown.requested}
