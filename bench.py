@@ -123,11 +123,16 @@ def main():
     if cli.golden_only:
         from transformer_latent_diffusion_tpu.utils.goldens import (
             audit_tpu_numerics,
+            audit_train_numerics,
         )
 
         fields, failures = audit_tpu_numerics(
             quantize=cli.quantize, cache_interval=cli.cache_interval,
             log=log)
+        if cli.quantize is None and cli.cache_interval == 1:
+            t_fields, t_failures = audit_train_numerics(log=log)
+            fields.update(t_fields)
+            failures += t_failures
         print(json.dumps({"metric": "golden_audit", **fields}))
         assert not failures, "; ".join(failures)
         return
@@ -332,7 +337,8 @@ def main():
             }
             step_fn = jax.jit(
                 _build_train_step(tmodel, optimizer,
-                                  TrainConfig(batch_size=train_batch),
+                                  TrainConfig(batch_size=train_batch,
+                                              log_grad_norm=True),
                                   vae_scale_factor=8.0),
                 donate_argnums=(0,),
             )
@@ -345,19 +351,21 @@ def main():
             # compile, then several warm steps: the first ~5 steps of a
             # fresh process carry ~50-70 ms/step of runtime warm-up noise
             # (measured; docs/DESIGN.md) that would understate throughput
-            loss_first = None
+            loss_first = gnorm_first = None
             for i in range(6):
-                state, loss = step_fn(state, x, y, jax.random.fold_in(
+                state, (loss, gnorm) = step_fn(state, x, y, jax.random.fold_in(
                     jax.random.PRNGKey(9), i))
                 if loss_first is None:
-                    loss_first = loss
+                    loss_first, gnorm_first = loss, gnorm
             loss_first = float(loss_first)
+            gnorm_first = float(gnorm_first)
             float(loss)
             t0 = time.time()
             for i in range(n_steps):
-                state, loss = step_fn(state, x, y, jax.random.fold_in(
+                state, (loss, gnorm) = step_fn(state, x, y, jax.random.fold_in(
                     jax.random.PRNGKey(1), i))
             loss_final = float(loss)
+            gnorm_final = float(gnorm)
             dt_tr = (time.time() - t0) / n_steps
             # fwd+bwd ~= 3x the forward matmul FLOPs
             tr_flops = 3.0 * denoiser_flops_per_call(cfg, train_batch)
@@ -376,6 +384,10 @@ def main():
                 "train_loss_final": round(loss_final, 4),
                 "train_loss_drop_pct": round(
                     100 * (1 - loss_final / loss_first), 1),
+                # pre-clip global grad norm (VERDICT r4 #7): the
+                # training-health signal, now visible per round
+                "train_grad_norm_first": round(gnorm_first, 3),
+                "train_grad_norm_final": round(gnorm_final, 3),
             }
             if peak:
                 train_stats["train_pct_of_peak"] = round(
@@ -411,6 +423,26 @@ def main():
             # exact path, logged for lossy opt-in runs
             log(f"golden check failed: {type(e).__name__}: {e}")
             if exact_mode:
+                raise
+        # ---- training-grad numerics guard (VERDICT r4 #3) ----
+        # Symmetric to the sampling audit, on the half of the system
+        # that trains: fused-VJP bf16 grads vs XLA and vs a committed
+        # TPU golden at the flagship shape (utils/goldens.py
+        # audit_train_numerics docstring has the three legs and their
+        # measured budgets). Skipped on lossy opt-in runs (quantize /
+        # cache_interval are inference-engine knobs; the train path is
+        # identical, so the exact-mode round already asserted it).
+        if exact_mode:
+            try:
+                from transformer_latent_diffusion_tpu.utils.goldens import (
+                    audit_train_numerics,
+                )
+
+                t_fields, t_failures = audit_train_numerics(log=log)
+                golden_stats.update(t_fields)
+                failures += t_failures
+            except Exception as e:
+                log(f"train golden check failed: {type(e).__name__}: {e}")
                 raise
         # budget violations raise REGARDLESS of mode: the audit already
         # scoped `failures` to the legs that apply (lossy runs report

@@ -99,6 +99,38 @@ def test_distillation_and_fewstep_sampling(tmp_path, model_and_params):
     assert np.abs(np.asarray(a) - np.asarray(b)).max() > 1e-6
 
 
+def test_distillation_label_dropout_and_sampler_cfg(tmp_path,
+                                                    model_and_params):
+    """The guidance-1 recipe (VERDICT r4 #1): label_dropout keeps the
+    student's unconditional branch trained, and classifier-free
+    guidance applied SAMPLER-SIDE on the consistency student runs and
+    actually steers the output."""
+    model, teacher = model_and_params
+    cfg = _distill_cfg(tmp_path, n_epoch=4)
+    out = distill_consistency(cfg, teacher, n_schedule=16, guidance=1.0,
+                              label_dropout=0.25)
+    assert all(np.isfinite(out["losses"]))
+    # dropout changes the training signal: different result than the
+    # same seed without it
+    out0 = distill_consistency(cfg, teacher, n_schedule=16, guidance=1.0)
+    la = jax.tree_util.tree_leaves(out["ema_params"])
+    lb = jax.tree_util.tree_leaves(out0["ema_params"])
+    assert any(np.abs(np.asarray(a) - np.asarray(b)).max() > 1e-7
+               for a, b in zip(la, lb))
+
+    gen = DiffusionGenerator(model=model, params=out["ema_params"],
+                             vae=None, fast_apply=consistency_apply(model))
+    labels = jax.random.normal(jax.random.PRNGKey(2), (2, CFG.text_emb_size))
+    kw = dict(labels=labels, num_imgs=2, img_size=CFG.image_size,
+              seed=5, sharp_f=0, bright_f=0, use_ddpm_plus=False,
+              fresh_noise=True, n_iter=2)
+    _, g1 = gen.generate(class_guidance=1.0, **kw)
+    _, g3 = gen.generate(class_guidance=3.0, **kw)
+    assert np.isfinite(np.asarray(g3)).all()
+    # CFG extrapolates cond vs uncond: a real steering effect
+    assert np.abs(np.asarray(g3) - np.asarray(g1)).max() > 1e-5
+
+
 def test_fresh_noise_validations(model_and_params):
     model, params = model_and_params
     gen = DiffusionGenerator(model=model, params=params, vae=None)

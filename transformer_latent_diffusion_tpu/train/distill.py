@@ -124,6 +124,7 @@ def distill_consistency(
     huber_c: float = 0.03,
     target_ema: float = 0.95,
     init_params: Optional[Any] = None,
+    label_dropout: float = 0.0,
 ) -> Dict[str, Any]:
     """Distill `teacher_params` (a trained denoiser for
     config.denoiser_config) into a few-step consistency model.
@@ -133,6 +134,16 @@ def distill_consistency(
     discretization (n_schedule) should match the sampler's target
     step grid. Returns {params, ema_params (the sampling weights),
     losses, global_step}.
+
+    `label_dropout` zeroes each label with probability p during
+    distillation (the training loss's CFG dropout, reference
+    train.py:136-138). Essential for the guidance=1.0 recipe
+    (VERDICT r4 #1): a guidance-1 student with sampler-side CFG needs a
+    TRAINED unconditional branch — without dropout the y=0 behaviour it
+    inherited from the teacher decays arbitrarily over distillation.
+    Baked-guidance students (guidance > 1) should keep dropout at 0:
+    their uncond branch is never sampled (class_guidance=1 at
+    inference).
     """
     dcfg = config.denoiser_config
     tcfg = config.train_config
@@ -161,9 +172,13 @@ def distill_consistency(
     vae_scale = float(config.vae_cfg.vae_scale_factor)
 
     def loss_fn(params, ema_p, x, y, rng):
-        r_i, r_eps = jax.random.split(rng)
+        r_i, r_eps, r_drop = jax.random.split(rng, 3)
         n = x.shape[0]
         x = x / vae_scale
+        if label_dropout > 0:
+            keep = (jax.random.uniform(r_drop, (n, 1))
+                    >= label_dropout).astype(y.dtype)
+            y = y * keep
         i = jax.random.randint(r_i, (n,), 0, n_schedule - 1)
         s_hi = levels[i].reshape(n, 1)
         s_lo = levels[i + 1].reshape(n, 1)
