@@ -44,6 +44,21 @@ def test_golden_latents_reproducible():
     assert rel_l2(lat, gold) < 1e-4, rel_l2(lat, gold)
 
 
+def test_train_tpu_golden_committed():
+    """The TPU train-grad reproducibility baseline (train audit leg 3)
+    must be present and well-formed — its absence silently skips the
+    tripwire."""
+    from transformer_latent_diffusion_tpu.utils.goldens import (
+        TRAIN_TPU_GOLDEN_PATH,
+        load_train_golden,
+    )
+
+    gold = load_train_golden(TRAIN_TPU_GOLDEN_PATH)
+    assert gold.ndim == 2 and gold.shape[1] == 2
+    assert np.isfinite(gold).all()
+    assert (gold[:, 0] > 0).all()  # every leaf received gradient
+
+
 def test_train_grad_golden_reproducible():
     """Training-grad audit baseline (VERDICT r4 #3): the committed CPU
     f32 fingerprint (tests/goldens/train_grads.npz) regenerates
