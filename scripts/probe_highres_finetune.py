@@ -150,13 +150,25 @@ def main():
             save_and_eval_every_iters=10 ** 9, **common),
         **vae_kw,
     )
-    t0 = time.time()
-    res = train_main(cfg_base)
-    report["base"] = summarize("base-256px", res, t0, time.time(),
-                               base_batch)
-    base_params = jax.device_get(res["state"]["ema_params"])
-    del res
-    flush_report()
+    base_pkl = os.path.join(args.root, "base_params.pkl")
+    if os.path.exists(base_pkl):
+        import pickle
+
+        with open(base_pkl, "rb") as f:
+            base_params = pickle.load(f)
+        print("base params loaded from cache", flush=True)
+    else:
+        t0 = time.time()
+        res = train_main(cfg_base)
+        report["base"] = summarize("base-256px", res, t0, time.time(),
+                                   base_batch)
+        base_params = jax.device_get(res["state"]["ema_params"])
+        del res
+        import pickle
+
+        with open(base_pkl, "wb") as f:
+            pickle.dump(base_params, f)
+        flush_report()
 
     # ---- leg B: 512px warm-start fine-tune (the reference recipe) ----
     per_epoch_hi = (n_hi - holdout) // ft_batch
@@ -170,6 +182,10 @@ def main():
                 n_epoch=n_epoch, batch_size=ft_batch, model_name=name,
                 save_model=True, from_scratch=from_scratch,
                 val_holdout=holdout, save_and_eval_every_iters=128,
+                # 1024 tokens x batch 64 no-remat backward OOMs once
+                # the eval sampler + VAE executables are HBM-resident
+                # (measured this probe); remat is numerically identical
+                remat=not args.tiny,
                 **common),
             **vae_kw,
         )

@@ -82,6 +82,15 @@ def test_moe_aux_loss_sown():
     # immutable apply: sow is a no-op, no error
     moe.apply({"params": params}, x)
 
+    # per-expert load fractions live in their OWN collection
+    # (scripts/probe_moe.py observability) — NOT in 'losses', which the
+    # train loss sums wholesale
+    _, mm = moe.apply({"params": params}, x, mutable=["moe_metrics"])
+    (load,) = mm["moe_metrics"]["load"]
+    assert load.shape == (4,)
+    np.testing.assert_allclose(float(jnp.sum(load)), 1.0, atol=1e-5)
+    assert "load" not in mut["losses"]
+
 
 @pytest.fixture(scope="module")
 def moe_denoiser():

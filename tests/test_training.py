@@ -259,6 +259,34 @@ def test_async_periodic_checkpoint(tmp_path):
         assert np.isfinite(np.asarray(leaf)).all()
 
 
+def test_checkpoint_step_overwrite(tmp_path):
+    """Re-saving an existing step replaces it (the reference's
+    torch.save-to-fixed-filename semantics): re-running a from_scratch
+    training into the same model_name previously crashed with orbax's
+    StepAlreadyExistsError at the first periodic save."""
+    from transformer_latent_diffusion_tpu.train.checkpoint import (
+        CheckpointManager,
+    )
+
+    mgr = CheckpointManager(str(tmp_path / "run"))
+    mgr.save(0, {"w": np.ones(3, np.float32)})
+    mgr.save(0, {"w": np.full(3, 7.0, np.float32)})
+    np.testing.assert_array_equal(mgr.restore(0)["w"], np.full(3, 7.0))
+
+    # the end-to-end shape of the bug: train twice into one run name
+    from transformer_latent_diffusion_tpu.train import main
+
+    cfg = _model_cfg(tmp_path, denoiser=SMALL_DENOISER, img_size=8,
+                     save_model=True, model_name="twice", n_epoch=1,
+                     save_and_eval_every_iters=2)
+    main(cfg)
+    cfg2 = _model_cfg(tmp_path, denoiser=SMALL_DENOISER, img_size=8,
+                      save_model=True, model_name="twice", n_epoch=1,
+                      save_and_eval_every_iters=2)
+    r = main(cfg2)  # must not raise
+    assert r["global_step"] == 2
+
+
 def test_run_id_resume(tmp_path):
     """run_id selects which previous run's checkpoint to resume from
     (redesign of the reference's wandb.restore(run_id), train.py:92-100):

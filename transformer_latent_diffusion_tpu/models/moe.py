@@ -83,6 +83,10 @@ class MoEMLP(nn.Module):
         f_e = jnp.mean(mask, axis=(0, 1))  # fraction routed per expert
         p_e = jnp.mean(probs, axis=(0, 1))  # mean router prob per expert
         self.sow("losses", "moe_aux", e * jnp.sum(f_e * p_e))
+        # observability (scripts/probe_moe.py): per-expert routed
+        # fraction, in its OWN collection — train.py sums every leaf of
+        # 'losses' into the objective, this must stay out of it
+        self.sow("moe_metrics", "load", f_e)
 
         # --- capacity assignment: position of each token in its expert ---
         pos = jnp.cumsum(mask, axis=1) * mask  # 1-based, 0 where unrouted

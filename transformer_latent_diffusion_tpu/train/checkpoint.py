@@ -66,6 +66,14 @@ class CheckpointManager:
         train state costs tens of seconds). The CALLER must pass
         non-donated arrays (e.g. an on-device jnp.copy of the state)
         and call wait() before relying on the files."""
+        if step in set(self.manager.all_steps()):
+            # overwrite semantics, like the reference's torch.save to a
+            # fixed filename (train.py:149-158): re-running a
+            # from_scratch training into the same model_name must
+            # replace the stale step, not crash — this orbax version's
+            # save() raises StepAlreadyExistsError regardless of force
+            self.manager.wait_until_finished()
+            self.manager.delete(step)
         self.manager.save(
             step, args=self._ocp.args.StandardSave(state), force=True
         )
