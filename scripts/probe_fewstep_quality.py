@@ -26,6 +26,12 @@ consistency steps do NOT monotonically help — with guidance baked in,
 each extra f-application compounds the guidance overshoot (the known
 LCM multistep artifact), so 1-2 steps is the fidelity sweet spot.
 
+SUPERSEDED (round 5): scripts/probe_fewstep_sweep.py swept the baked
+guidance and found it IS the artifact — distill at guidance=1.0 with
+label_dropout=0.15 and the 1-step student beats this probe's teacher
+(latent-FID 1034 vs 1288) with gently-degrading multistep; see the
+DESIGN.md few-step table. This probe is kept for the baked-g3 baseline.
+
 Run on the TPU:  python scripts/probe_fewstep_quality.py
 Cached under --ckpt-dir (shared with the other knob probes); delete
 student_g*.pkl to re-distill.
