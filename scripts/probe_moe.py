@@ -50,6 +50,64 @@ def expert_loads(dcfg, params, x, y):
     return np.stack(loads)  # (n_layers, n_experts)
 
 
+def steady_state_cost(name, img, den_kw, batch, n_steps=20):
+    """(ms/step, samples/s) for the real jitted donated train step —
+    bench.py's train-section methodology, dense vs MoE at matched
+    ACTIVE params. Dense rides the fused per-layer VJP kernels; MoE is
+    gated to the XLA path (models/blocks.py) exactly as in train.main."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from transformer_latent_diffusion_tpu.configs import (
+        DenoiserConfig,
+        TrainConfig,
+    )
+    from transformer_latent_diffusion_tpu.models import Denoiser
+    from transformer_latent_diffusion_tpu.train.train import (
+        _build_train_step,
+        resolve_fused_flags,
+    )
+    from transformer_latent_diffusion_tpu.utils import init_denoiser_params
+
+    on_tpu = jax.default_backend() not in ("cpu",)
+    tc = TrainConfig(batch_size=batch)
+    fused_layer, fused_mlp, fused_attn = resolve_fused_flags(tc, on_tpu)
+    dcfg = DenoiserConfig(
+        image_size=img,
+        mlp_class="moe" if name == "moe" else "sep_conv", **den_kw)
+    from dataclasses import asdict
+
+    model = Denoiser(**asdict(dcfg),
+                     dtype=jnp.bfloat16 if on_tpu else jnp.float32,
+                     use_pallas=on_tpu, fused_layer_vjp=fused_layer,
+                     fused_mlp_vjp=fused_mlp, fused_attn_vjp=fused_attn)
+    params = init_denoiser_params(model, dcfg)
+    optimizer = optax.adam(3e-4)
+    state = {"params": params,
+             "ema_params": jax.tree.map(jnp.copy, params),
+             "opt_state": optimizer.init(params),
+             "step": jnp.asarray(0)}
+    step_fn = jax.jit(_build_train_step(model, optimizer, tc,
+                                        vae_scale_factor=8.0),
+                      donate_argnums=(0,))
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((batch, 4, img, img)),
+                    jnp.float32)
+    y = jnp.asarray(rng.standard_normal((batch, 768)), jnp.float32)
+    for i in range(6):
+        state, loss = step_fn(state, x, y, jax.random.fold_in(
+            jax.random.PRNGKey(9), i))
+    float(loss)
+    t0 = time.time()
+    for i in range(n_steps):
+        state, loss = step_fn(state, x, y, jax.random.fold_in(
+            jax.random.PRNGKey(1), i))
+    float(loss)
+    dt = (time.time() - t0) / n_steps
+    return round(dt * 1e3, 1), round(batch / dt, 1)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=48)
@@ -76,6 +134,9 @@ def main():
 
     print("backend:", jax.default_backend(), flush=True)
     report = {}
+    if os.path.exists(args.out):  # resume: completed legs are cached
+        with open(args.out) as f:
+            report = json.load(f)
 
     def flush_report():
         os.makedirs(os.path.dirname(args.out), exist_ok=True)
@@ -107,6 +168,8 @@ def main():
     # ---- leg A: cost, dense vs MoE at matched active params ----
     if not args.skip_cost:
         for name, mlp_class in (("dense", "sep_conv"), ("moe", "moe")):
+            if f"cost_{name}" in report:
+                continue
             dcfg = DenoiserConfig(image_size=img, mlp_class=mlp_class,
                                   **den_kw)
             cfg = ModelConfig(
@@ -136,28 +199,22 @@ def main():
             print(json.dumps({name: report[f"cost_{name}"]}), flush=True)
             del res
             flush_report()
-        # steady-state re-run (compile now cached): same configs
-        for name, mlp_class in (("dense", "sep_conv"), ("moe", "moe")):
-            dcfg = DenoiserConfig(image_size=img, mlp_class=mlp_class,
-                                  **den_kw)
-            cfg = ModelConfig(
-                data_config=data_cfg, denoiser_config=dcfg,
-                train_config=TrainConfig(n_epoch=n_epoch,
-                                         model_name=f"moecost_{name}",
-                                         **common), **vae_kw)
-            t0 = time.time()
-            res = train_main(cfg)
-            wall = time.time() - t0
-            report[f"cost_{name}"]["samples_per_sec_warm"] = round(
-                args.batch * res["global_step"] / wall, 1)
-            print(name, "warm samples/s:",
-                  report[f"cost_{name}"]["samples_per_sec_warm"],
-                  flush=True)
-            del res
+        # steady-state per-step cost, bench.py-style: same process,
+        # the REAL jitted donated train step, 6 warm + 20 timed steps
+        # (a short train.main wall is fixed-overhead-dominated — data
+        # load + retrace + compile-cache fetch wash out the per-step
+        # difference at 80 steps)
+        for name in ("dense", "moe"):
+            if "ms_per_step_steady" in report[f"cost_{name}"]:
+                continue
+            report[f"cost_{name}"]["ms_per_step_steady"], \
+                report[f"cost_{name}"]["samples_per_sec_steady"] = (
+                    steady_state_cost(name, img, den_kw, args.batch))
+            print(name, "steady:", report[f"cost_{name}"], flush=True)
             flush_report()
         d, m = report["cost_dense"], report["cost_moe"]
-        report["moe_vs_dense_warm"] = round(
-            m["samples_per_sec_warm"] / d["samples_per_sec_warm"], 3)
+        report["moe_vs_dense_steady"] = round(
+            m["samples_per_sec_steady"] / d["samples_per_sec_steady"], 3)
 
     # ---- leg B: load balance, aux on vs off (toy scale) ----
     bimg = 16
@@ -168,7 +225,10 @@ def main():
     rng = np.random.default_rng(3)
     xb = np.load(blp)[:64]
     yb = np.load(btp)[:64]
-    for tag, w in (("aux_on", 0.01), ("aux_off", 0.0)):
+    for tag, w in (("aux_on", 0.01), ("aux_off", 0.0),
+                   ("aux_strong", 0.1)):
+        if f"balance_{tag}" in report:
+            continue
         cfg = ModelConfig(
             data_config=DataConfig(blp, btp, bvp),
             denoiser_config=bdcfg,
