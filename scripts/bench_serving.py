@@ -167,8 +167,21 @@ def run_burst(tr, args):
         mb = MicroBatcher(tr, max_batch=cap, max_wait_ms=100.0,
                           buckets=(cap,), max_queue_imgs=max_queue_imgs)
         try:
+            # warm the FULL batched path: a concurrent mini-burst of
+            # `cap` requests compiles both the batch-cap scan AND the
+            # batch-cap text encode (a solo warmup leaves the encode
+            # compile inside the measured burst — ~5 s of phantom
+            # "queueing" on the tunneled runtime, measured)
             print(f"[{label}] warmup...", flush=True)
-            mb.generate("warmup", n_iter=args.n_iter, timeout=1800)
+            wts = [threading.Thread(
+                target=lambda i=i: mb.generate(f"warmup {i}",
+                                               n_iter=args.n_iter,
+                                               timeout=1800))
+                   for i in range(cap)]
+            for t in wts:
+                t.start()
+            for t in wts:
+                t.join()
             lat, shed_lat = [], []
 
             def run(i):
