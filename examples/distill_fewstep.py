@@ -8,7 +8,14 @@ uses, save the distilled EMA weights, and render a sample strip with
 
     python examples/distill_fewstep.py --weights denoiser.npz \
         --latents latents.npy --text-emb text_emb.npy \
-        --epochs 4 --guidance 3.0 --out fewstep.png
+        --epochs 4 --out fewstep.png
+
+Defaults follow the measured round-5 recipe (docs/DESIGN.md few-step
+table): guidance 1.0 baked + label dropout 0.15, so the student keeps a
+trained unconditional branch and classifier-free guidance is chosen at
+SAMPLING time (--sample-guidance). Deploy the saved weights through the
+full serving surface with `LTDConfig(consistency=True,
+denoiser_load=DenoiserLoad(local_filename="distilled_ema.npz"))`.
 """
 
 import argparse
@@ -28,8 +35,16 @@ def main():
     ap.add_argument("--batch-size", type=int, default=64)
     ap.add_argument("--lr", type=float, default=1e-4)
     ap.add_argument("--epochs", type=int, default=4)
-    ap.add_argument("--guidance", type=float, default=3.0,
-                    help="CFG strength baked into the student")
+    ap.add_argument("--guidance", type=float, default=1.0,
+                    help="CFG strength baked into the teacher step "
+                         "(1.0 = the measured-best recipe; CFG is then "
+                         "applied sampler-side)")
+    ap.add_argument("--label-dropout", type=float, default=0.15,
+                    help="label dropout during distillation — keeps "
+                         "the uncond branch trained for sampler-side "
+                         "CFG (set 0 for baked-guidance students)")
+    ap.add_argument("--sample-guidance", type=float, default=1.0,
+                    help="CFG strength for the output strip")
     ap.add_argument("--n-schedule", type=int, default=50)
     ap.add_argument("--steps", type=int, default=4,
                     help="sampling steps for the output strip")
@@ -85,7 +100,8 @@ def main():
                                  save_model=False),
     )
     out = distill_consistency(cfg, teacher, n_schedule=args.n_schedule,
-                              guidance=args.guidance)
+                              guidance=args.guidance,
+                              label_dropout=args.label_dropout)
     print(f"distilled {out['global_step']} steps, "
           f"loss {out['losses'][0]:.4f} -> {out['losses'][-1]:.4f}")
     save_npz(args.save, out["ema_params"])
@@ -98,7 +114,8 @@ def main():
     labels = np.load(args.text_emb)[:4]
     img, _ = gen.generate(labels=labels, num_imgs=4,
                           img_size=dcfg.image_size, n_iter=args.steps,
-                          class_guidance=1, seed=7, sharp_f=0, bright_f=0,
+                          class_guidance=args.sample_guidance, seed=7,
+                          sharp_f=0, bright_f=0,
                           use_ddpm_plus=False, fresh_noise=True)
     from transformer_latent_diffusion_tpu.utils import make_grid
 

@@ -347,6 +347,16 @@ class LTDConfig:
     # built lazily on first use. None = default ViT-L/14 shapes
     # (random-init unless weights_path is set).
     clip_vision_cfg: Optional[ClipVisionConfig] = None
+    # beyond reference: the loaded weights are a consistency-distilled
+    # student (train/distill.py). Sampling wraps the network in the
+    # boundary-exact consistency function f(x,s) = (1-s)x + s*x0 and
+    # runs the fresh-noise multistep sampler; deploy with small n_iter
+    # (1-4 — the measured quality regime, docs/DESIGN.md few-step
+    # table). Guidance-1 + label-dropout students take any
+    # class_guidance sampler-side; baked-guidance students should be
+    # sampled at class_guidance=1. Text-to-image (incl. negative
+    # prompts and best-of-N) only.
+    consistency: bool = False
 
 
 @dataclass

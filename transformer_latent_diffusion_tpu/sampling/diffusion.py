@@ -106,6 +106,21 @@ def make_step_coeffs(noise_levels: np.ndarray, use_ddpm_plus: bool) -> Tuple[np.
 PREDICTION_OBJECTIVES = ("x0", "eps", "v")
 
 
+def fresh_noise_image_keys(seed: int, num_imgs: int):
+    """Per-image fresh-noise keys for `generate(fresh_noise=True)`.
+
+    Image j's re-noising stream is fold_in(fold_in(PRNGKey(seed), 1), j)
+    — a pure function of (seed, j), independent of batch composition, so
+    a request's images sample identically whether generated solo or
+    coalesced into a micro-batch (the batcher concatenates each
+    request's own key vector and passes it via `fresh_noise_keys`).
+    The fold_in(·, 1) keeps the stream independent of the init-noise
+    draw at the same seed."""
+    base = jax.random.fold_in(jax.random.PRNGKey(seed), 1)
+    return jax.vmap(lambda j: jax.random.fold_in(base, j))(
+        jnp.arange(num_imgs))
+
+
 def prediction_to_x0(pred, x_t, sigma, objective: str):
     """Convert a network prediction to an x0 estimate under the repo's
     linear-interpolation corruption `x_t = sigma*eps + (1-sigma)*x0`
@@ -396,10 +411,15 @@ class DiffusionGenerator:
                 if fresh_noise:
                     # consistency-style multistep: re-noise the x0
                     # estimate with FRESH noise to the next level
-                    # (x_t is discarded — the model is its own solver)
-                    eps = jax.random.normal(
-                        jax.random.fold_in(noise_key, i), x_t.shape,
-                        dtype=x_t.dtype)
+                    # (x_t is discarded — the model is its own solver).
+                    # noise_key is PER-IMAGE (num_imgs keys): each
+                    # image's noise stream depends only on its own key,
+                    # so micro-batched requests reproduce their solo
+                    # results regardless of batch composition
+                    eps = jax.vmap(
+                        lambda k: jax.random.normal(
+                            jax.random.fold_in(k, i), x_t.shape[1:],
+                            x_t.dtype))(noise_key)
                     x_t = nxt * eps + (1.0 - nxt) * d
                 else:
                     x_t = ((curr - nxt) * d + nxt * x_t) / curr
@@ -541,6 +561,7 @@ class DiffusionGenerator:
         mask=None,
         context_latents=None,
         fresh_noise: bool = False,
+        fresh_noise_keys=None,
         clamp_first: bool = True,
         cfg_rescale: float = 0.0,
         guidance_interval=None,
@@ -762,8 +783,20 @@ class DiffusionGenerator:
         if ctx is not None:
             kw["context"] = ctx
         if fresh_noise:
-            # independent stream from the init-noise draw at the same seed
-            kw["noise_key"] = jax.random.fold_in(jax.random.PRNGKey(seed), 1)
+            if fresh_noise_keys is not None:
+                # per-request streams (serving micro-batcher): one key
+                # per image, built by the caller from each request's
+                # own seed via fresh_noise_image_keys
+                kw["noise_key"] = jnp.asarray(fresh_noise_keys)
+                if kw["noise_key"].shape[0] != num_imgs:
+                    raise ValueError(
+                        f"fresh_noise_keys carries "
+                        f"{kw['noise_key'].shape[0]} keys for "
+                        f"{num_imgs} images")
+            else:
+                # independent stream from the init-noise draw at the
+                # same seed; one key PER IMAGE (see step())
+                kw["noise_key"] = fresh_noise_image_keys(seed, num_imgs)
         x0 = run(*args, **kw)
 
         # latent "editing": sharpness / brightness channel shifts

@@ -236,6 +236,21 @@ class DiffusionTransformer:
             fast_apply = make_fused_apply(cfg.denoiser_cfg, compute_dtype=dtype,
                                           quantize=getattr(cfg, "quantize", None))
 
+        # consistency-distilled deployment (LTDConfig.consistency): wrap
+        # the network — fused engine included, its prepare protocol is
+        # preserved — in the boundary-exact consistency function; the
+        # generate paths then run the fresh-noise multistep sampler
+        self.consistency = bool(getattr(cfg, "consistency", False))
+        if self.consistency:
+            if pipeline_fn is not None:
+                raise ValueError("consistency=True does not compose with "
+                                 "pipeline_parallel sampling")
+            from transformer_latent_diffusion_tpu.train.distill import (
+                consistency_apply,
+            )
+
+            fast_apply = consistency_apply(denoiser, inner=fast_apply)
+
         self.diffuser = DiffusionGenerator(
             model=denoiser, params=params, vae=self.vae, model_dtype=dtype,
             fast_apply=fast_apply, mesh=mesh, pipeline_fn=pipeline_fn,
@@ -304,6 +319,14 @@ class DiffusionTransformer:
             raise ValueError(
                 f"pad_to={p} is smaller than num_imgs={num_imgs}")
         return p
+
+    def _reject_consistency(self, feature: str):
+        if self.consistency:
+            raise ValueError(
+                f"{feature} assumes the deterministic DDIM/DPM update; "
+                f"a consistency deployment (LTDConfig.consistency) "
+                f"supports text-to-image only (incl. negative prompts "
+                f"and best-of-N)")
 
     def generate_image_from_text(
         self,
@@ -375,6 +398,20 @@ class DiffusionTransformer:
             prompts = prompts + [prompts[-1]] * (gen_n - num_imgs)
         labels, negative_labels = self._encode_prompts(
             prompts, negative_prompt, gen_n)
+        extra = {}
+        if self.consistency:
+            # consistency students sample with the fresh-noise multistep
+            # update; the DDIM/DPM/heun machinery does not apply
+            if sampler is not None or schedule != "poly":
+                raise ValueError(
+                    "sampler/schedule select the ODE solver; a "
+                    "consistency deployment (LTDConfig.consistency) "
+                    "uses the fresh-noise multistep update instead")
+            if cache_interval != 1:
+                raise ValueError("cache_interval > 1 (block caching) "
+                                 "assumes the DDIM/DPM scan body; it "
+                                 "excludes consistency sampling")
+            extra = dict(fresh_noise=True, use_ddpm_plus=False)
         # output="uint8" quantizes on device (same math as the float
         # path + to_pil) so only H*W*3 bytes per image leave the chip
         out, _ = self.diffuser.generate(
@@ -395,6 +432,7 @@ class DiffusionTransformer:
             guidance_interval=guidance_interval,
             sampler=sampler,
             schedule=schedule,
+            **extra,
         )
         return np.asarray(out)[:num_imgs]
 
@@ -527,6 +565,7 @@ class DiffusionTransformer:
         prompt (see DiffusionGenerator.generate init_latents/strength).
         A single input image with num_imgs > 1 yields num_imgs
         variations (same init, different noise draws)."""
+        self._reject_consistency("image_to_image")
         lat = self._encode_init_image(image)
         if not (lat.shape[0] == 1 and num_imgs > 1):
             # (1,C,S,S) broadcasts against num_imgs noise draws; a real
@@ -606,6 +645,7 @@ class DiffusionTransformer:
         axis = -1 if direction in ("right", "left") else -2
         at_end = direction in ("right", "down")  # seam side of PREV tile
 
+        self._reject_consistency("outpaint")
         lat = np.asarray(self._encode_init_image(image))
         if lat.shape[0] != 1:
             raise ValueError("outpaint takes a single image")
@@ -690,6 +730,7 @@ class DiffusionTransformer:
         run in a single scan call. Returns a one-row PIL strip, frame
         0 = (prompt_a, seed), last = (prompt_b, seed_b).
         """
+        self._reject_consistency("interpolate")
         if n_frames < 2:
             raise ValueError(f"n_frames must be >= 2, got {n_frames}")
         if prompt_b is None and seed_b is None:
@@ -762,6 +803,7 @@ class DiffusionTransformer:
         masks are latent-resolution). strength < 1 additionally limits
         how far the masked region departs (img2img semantics inside the
         mask)."""
+        self._reject_consistency("inpaint")
         lat = self._encode_init_image(image)
         want = self.diffuser.model.image_size
         m = pool_mask_to_latent(mask, want)

@@ -500,6 +500,27 @@ def _validate_solver_fields(payload: dict) -> Optional[str]:
     return None
 
 
+def _validate_consistency_fields(payload: dict, svc) -> Optional[str]:
+    """422-level validation for consistency deployments
+    (LTDConfig.consistency): the fresh-noise multistep sampler replaces
+    the DDIM/DPM machinery, so solver knobs and editing payloads do not
+    apply. Shared by both frontends."""
+    if not getattr(svc.transformer, "consistency", False):
+        return None
+    if (payload.get("sampler") is not None
+            or payload.get("schedule", "poly") not in (None, "poly")):
+        return ("sampler/schedule do not apply to a consistency "
+                "deployment (fresh-noise multistep sampling)")
+    if payload.get("cache_interval", 1) not in (None, 1):
+        return "cache_interval does not apply to a consistency deployment"
+    for k in ("init_image", "mask", "strength", "interpolate_to",
+              "seed_b"):
+        if payload.get(k) is not None:
+            return (f"{k} does not apply to a consistency deployment "
+                    f"(text-to-image only)")
+    return None
+
+
 def _check_token(auth_header: Optional[str]):
     """Returns (status, detail). 401 semantics match FastAPI's
     OAuth2PasswordBearer + the reference's token check (app.py:26-32)."""
@@ -584,7 +605,8 @@ def create_wsgi_app(cfg: Optional[LTDConfig] = None, service=None):
                     if k in payload and payload[k] is None:
                         return respond(422, json.dumps({
                             "detail": f"{k} must not be null"}).encode())
-                solver_err = _validate_solver_fields(payload)
+                solver_err = (_validate_solver_fields(payload)
+                              or _validate_consistency_fields(payload, svc))
                 if solver_err:
                     return respond(
                         422, json.dumps({"detail": solver_err}).encode())
@@ -696,8 +718,9 @@ def create_fastapi_app(cfg: Optional[LTDConfig] = None, service=None):
         if request.best_of is not None and request.best_of < request.num_imgs:
             raise HTTPException(status_code=422,
                                 detail="best_of must be >= num_imgs")
-        solver_err = _validate_solver_fields(
-            getattr(request, "model_dump", request.dict)())  # pydantic v2/v1
+        payload = getattr(request, "model_dump", request.dict)()  # v2/v1
+        solver_err = (_validate_solver_fields(payload)
+                      or _validate_consistency_fields(payload, svc))
         if solver_err:
             raise HTTPException(status_code=422, detail=solver_err)
         try:

@@ -160,6 +160,14 @@ class MicroBatcher:
         the solo pipeline: 0.5 for img2img, 1.0 under a mask."""
         num_imgs = int(num_imgs)
         init_lat = pooled = None
+        if getattr(self.transformer, "consistency", False) and (
+                init_image is not None or sampler is not None
+                or schedule != "poly"):
+            raise ValueError(
+                "a consistency deployment (LTDConfig.consistency) "
+                "serves text-to-image with the fresh-noise sampler "
+                "only — editing and sampler/schedule knobs do not "
+                "apply")
         if mask is not None and init_image is None:
             raise ValueError("mask requires init_image (inpainting is "
                              "masked img2img)")
@@ -401,6 +409,30 @@ class MicroBatcher:
                 masks.append(np.repeat(masks[0][:1], pad, 0))
         seeds = np.concatenate(noises, axis=0)
 
+        # consistency deployments batch like any t2i traffic; the scan
+        # body is the fresh-noise multistep update instead of DDIM/DPM.
+        # Per-request noise keys (fresh_noise_image_keys) keep every
+        # image's re-noising stream identical to its solo run — batch
+        # composition cannot change results (same guarantee the seeds
+        # array gives the init noise).
+        extra = {}
+        if getattr(tr, "consistency", False):
+            from transformer_latent_diffusion_tpu.sampling.diffusion import (
+                fresh_noise_image_keys,
+            )
+
+            def _keys(seed, k):
+                if cpu is not None:
+                    with jax.default_device(cpu):
+                        return np.asarray(fresh_noise_image_keys(seed, k))
+                return np.asarray(fresh_noise_image_keys(seed, k))
+
+            key_rows = [_keys(r.seed, r.num_imgs) for r in reqs]
+            if b > n:
+                key_rows.append(np.repeat(key_rows[0][:1], b - n, 0))
+            extra = dict(fresh_noise=True, use_ddpm_plus=False,
+                         fresh_noise_keys=np.concatenate(key_rows,
+                                                         axis=0))
         out, _ = tr.diffuser.generate(
             labels=jnp.asarray(labels),
             seeds=jnp.asarray(seeds),
@@ -423,6 +455,7 @@ class MicroBatcher:
             strength=1.0 if strength is None else strength,
             mask=(None if masks is None
                   else jnp.asarray(np.concatenate(masks, axis=0))),
+            **extra,
         )
         out = np.asarray(out)
 
