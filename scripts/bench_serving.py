@@ -44,6 +44,11 @@ def main():
     ap.add_argument("--burst", action="store_true",
                     help="bench backpressure: 4x-capacity burst, "
                          "bounded vs unbounded queue")
+    ap.add_argument("--consistency", action="store_true",
+                    help="serve a consistency student "
+                         "(LTDConfig.consistency): fresh-noise "
+                         "multistep sampling — pair with a small "
+                         "--n-iter (2-4)")
     ap.add_argument("--capacity", type=int, default=8,
                     help="--burst: device batch size (burst = 4x this)")
     args = ap.parse_args()
@@ -61,6 +66,7 @@ def main():
             image_size=32, noise_embed_dims=256, patch_size=2, embed_dim=768,
             dropout=0, n_layers=12),
         use_pallas=on_tpu,
+        consistency=args.consistency,
     )
     cfg.denoiser_load.dtype = "bfloat16" if on_tpu else "float32"
     print("building pipeline...", flush=True)
