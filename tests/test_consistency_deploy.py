@@ -177,3 +177,26 @@ def test_config_json_roundtrip():
     cfg = _tiny_consistency_cfg()
     back = ltd_config_from_json(json.loads(config_to_json(cfg)))
     assert back.consistency is True
+
+
+def test_lora_composes_with_consistency(tr):
+    """load_lora on a consistency deployment: the merged params flow
+    through the consistency wrapper (both act on diffuser.params), so
+    adapter swap/restore works unchanged."""
+    from transformer_latent_diffusion_tpu.train.lora import (
+        init_lora_params,
+    )
+
+    base = tr.generate_array_from_text("a cute cat", num_imgs=1, seed=9,
+                                       n_iter=2)
+    lora = init_lora_params(tr.diffuser.params, rank=2)
+    # non-zero B so the merge actually changes the function
+    lora = jax.tree.map(lambda a: a + 0.05, lora)
+    tr.load_lora(lora)
+    adapted = tr.generate_array_from_text("a cute cat", num_imgs=1,
+                                          seed=9, n_iter=2)
+    assert np.abs(adapted.astype(int) - base.astype(int)).max() > 0
+    tr.load_lora(lora, scale=0.0)  # restore
+    back = tr.generate_array_from_text("a cute cat", num_imgs=1, seed=9,
+                                       n_iter=2)
+    np.testing.assert_array_equal(back, base)
