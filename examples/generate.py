@@ -49,6 +49,10 @@ def main():
     ap.add_argument("--interpolate-to", default=None,
                     help="morph --prompt -> this prompt: one strip of "
                          "--num-imgs frames, shared init noise")
+    ap.add_argument("--consistency", action="store_true",
+                    help="--weights is a consistency-distilled student "
+                         "(examples/distill_fewstep.py): fresh-noise "
+                         "multistep sampling — pair with --n-iter 1-4")
     args = ap.parse_args()
 
     from transformer_latent_diffusion_tpu.configs import (
@@ -68,6 +72,7 @@ def main():
                                 vocab_path=args.vocab,
                                 width=64, heads=2, layers=2),
             use_pallas=False,
+            consistency=args.consistency,
         )
     else:
         cfg = LTDConfig(
@@ -77,6 +82,7 @@ def main():
             vae_cfg=VaeConfig(weights_path=args.vae_npz),
             clip_cfg=ClipConfig(weights_path=args.clip_npz,
                                 vocab_path=args.vocab),
+            consistency=args.consistency,
         )
 
     if args.init_image is None and (args.mask is not None
