@@ -141,7 +141,7 @@ def main():
         # budget leg on the guidance-1 recipe
         stud1b = distill("g1drop_e120", guidance=1.0, label_dropout=0.15,
                          epochs=120)
-        for cfg_g in (2.0, 3.0):
+        for cfg_g in (1.0, 2.0, 3.0):
             for steps in (1, 2, 4):
                 score(f"g1drop-e120 student-{steps} cfg{cfg_g}", stud1b,
                       steps, cfg_g)
