@@ -333,6 +333,45 @@ def test_generate_image_solver_knobs(client):
     assert r["status"] == 200, r
 
 
+def test_generate_image_eta_knob(client):
+    """eta-stochastic DDIM over HTTP: valid on sampler='ddim' t2i
+    requests, 422 on any other sampler / out-of-range / wrong-typed /
+    specialty-path combination — identically on both frontends."""
+    token = os.getenv("API_TOKEN")
+    auth = {"Authorization": f"Bearer {token}"}
+    r = client.post_json(
+        "/generate-image/",
+        {"prompt": "a cute cat", "n_iter": 4, "sampler": "ddim",
+         "eta": 0.5},
+        headers=auth)
+    assert r["status"] == 200, r
+    img = PIL.Image.open(io.BytesIO(r["body"]))
+    assert img.format == "JPEG"
+
+    for bad in ({"eta": 0.5},                     # default sampler = dpm
+                {"sampler": "heun", "eta": 0.5},
+                {"sampler": "ddim", "eta": 1.5},
+                {"sampler": "ddim", "eta": -0.1},
+                {"sampler": "ddim", "eta": "abc"},
+                {"sampler": "ddim", "eta": None},
+                {"sampler": "ddim", "eta": 0.5, "best_of": 2},
+                {"sampler": "ddim", "eta": 0.5, "seed_b": 3},
+                {"sampler": "ddim", "eta": 0.5, "init_image": "aGk="}):
+        r = client.post_json("/generate-image/",
+                             {"prompt": "x", "n_iter": 4, **bad},
+                             headers=auth)
+        assert r["status"] == 422, (bad, r)
+
+    # numeric-string eta coerces like pydantic's lax mode; eta=0 is the
+    # plain DDIM request (no ddim-sampler requirement triggered)
+    for ok in ({"sampler": "ddim", "eta": "0.5"}, {"eta": 0},
+               {"eta": 0.0}):
+        r = client.post_json("/generate-image/",
+                             {"prompt": "a cute cat", "n_iter": 4, **ok},
+                             headers=auth)
+        assert r["status"] == 200, (ok, r)
+
+
 def test_int_field_typing_contract(client):
     """Int-typed request fields follow pydantic v2 lax coercion on BOTH
     frontends (ADVICE r4: the WSGI path previously passed a 4.5 n_iter

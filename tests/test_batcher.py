@@ -86,6 +86,68 @@ def test_microbatcher_coalesces_and_matches_solo():
         assert diff.max() <= 1, f"req {i}: max pixel diff {diff.max()}"
 
 
+def test_microbatcher_eta_matches_solo():
+    """eta-stochastic DDIM requests coalesce like any t2i traffic and
+    reproduce their solo results: the batcher builds per-request noise
+    keys (fresh_noise_image_keys) so each image's fresh-noise stream
+    depends only on its own seed, never on batch composition."""
+    tr = _tiny_transformer()
+    reqs = [
+        dict(prompt="a cute cat", class_guidance=6, seed=11, num_imgs=1,
+             n_iter=4, sampler="ddim", eta=0.5),
+        dict(prompt="a red car", class_guidance=2.5, seed=3, num_imgs=2,
+             n_iter=4, sampler="ddim", eta=0.5),
+    ]
+    solo = [np.asarray(tr.generate_image_from_text(**r)) for r in reqs]
+
+    calls = []
+    orig_generate = tr.diffuser.generate
+
+    def counting_generate(*a, **kw):
+        calls.append((kw.get("num_imgs"), kw.get("eta"),
+                      kw.get("fresh_noise_keys") is not None))
+        return orig_generate(*a, **kw)
+
+    tr.diffuser.generate = counting_generate
+    mb = MicroBatcher(tr, max_batch=8, max_wait_ms=300.0)
+    try:
+        results = [None] * len(reqs)
+        errors = []
+
+        def run(i):
+            try:
+                results[i] = mb.generate(**reqs[i], timeout=300)
+            except BaseException as e:
+                errors.append(e)
+
+        threads = [threading.Thread(target=run, args=(i,))
+                   for i in range(len(reqs))]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert not errors, errors
+    finally:
+        mb.close()
+        tr.diffuser.generate = orig_generate
+
+    # 1+2 images pad to the 4-bucket, ONE call carrying eta + per-image keys
+    assert calls == [(4, 0.5, True)], calls
+    for i, (img, ref) in enumerate(zip(results, solo)):
+        got = np.asarray(img)
+        assert got.shape == ref.shape
+        diff = np.abs(got.astype(np.int32) - ref.astype(np.int32))
+        assert diff.max() <= 1, f"req {i}: max pixel diff {diff.max()}"
+
+    # eta without the ddim sampler is refused at enqueue time
+    mb2 = MicroBatcher(tr, max_batch=4, max_wait_ms=10.0)
+    try:
+        with pytest.raises(ValueError, match="stochastic DDIM"):
+            mb2.generate(prompt="x", n_iter=4, eta=0.5, timeout=30)
+    finally:
+        mb2.close()
+
+
 def test_microbatcher_groups_by_n_iter():
     tr = _tiny_transformer()
     mb = MicroBatcher(tr, max_batch=8, max_wait_ms=300.0)

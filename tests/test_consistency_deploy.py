@@ -87,6 +87,8 @@ def test_rejects_non_t2i_features(tr):
         tr.generate_image_from_text("x", n_iter=2, schedule="karras")
     with pytest.raises(ValueError, match="consistency"):
         tr.generate_image_from_text("x", n_iter=2, cache_interval=2)
+    with pytest.raises(ValueError, match="consistency"):
+        tr.generate_image_from_text("x", n_iter=2, eta=0.5)
 
 
 def test_best_of_rides_consistency(tr):
@@ -114,7 +116,8 @@ def test_http_service_contract(tr):
 
     for bad in ({"sampler": "dpm"}, {"schedule": "karras"},
                 {"cache_interval": 2}, {"init_image": "aGk="},
-                {"interpolate_to": "y"}, {"seed_b": 3}):
+                {"interpolate_to": "y"}, {"seed_b": 3},
+                {"sampler": "ddim", "eta": 0.5}):
         r = cl.post_json("/generate-image/",
                          {"prompt": "x", "n_iter": 4, **bad},
                          headers=auth)

@@ -200,6 +200,74 @@ def test_sampler_validation_errors():
         gen.generate(sampler="heun", cache_interval=2, **kw)
 
 
+def test_eta_endpoints_match_ddim_and_fresh_noise():
+    """eta-stochastic DDIM interpolates exactly between the two existing
+    samplers: eta=0 is the deterministic DDIM update, eta=1 is the
+    fresh-noise ancestral path (same per-image noise streams), so both
+    endpoints must be bit-equal to the code they claim to be."""
+    gen = _small_gen()
+    labels = jnp.ones((2, 768))
+    kw = dict(labels=labels, num_imgs=2, img_size=8, n_iter=5, seed=9,
+              sharp_f=0, bright_f=0, class_guidance=3)
+    _, ddim = gen.generate(sampler="ddim", **kw)
+    _, eta0 = gen.generate(sampler="ddim", eta=0.0, **kw)
+    np.testing.assert_array_equal(np.asarray(eta0), np.asarray(ddim))
+    _, fresh = gen.generate(fresh_noise=True, use_ddpm_plus=False, **kw)
+    _, eta1 = gen.generate(sampler="ddim", eta=1.0, **kw)
+    np.testing.assert_array_equal(np.asarray(eta1), np.asarray(fresh))
+
+
+def test_eta_mid_deterministic_and_distinct():
+    gen = _small_gen()
+    labels = jnp.ones((1, 768))
+    kw = dict(labels=labels, num_imgs=1, img_size=8, n_iter=5, seed=9,
+              sharp_f=0, bright_f=0, class_guidance=3)
+    _, a = gen.generate(sampler="ddim", eta=0.5, **kw)
+    _, b = gen.generate(sampler="ddim", eta=0.5, **kw)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert np.isfinite(np.asarray(a)).all()
+    _, d0 = gen.generate(sampler="ddim", **kw)
+    _, d1 = gen.generate(sampler="ddim", eta=1.0, **kw)
+    assert np.abs(np.asarray(a) - np.asarray(d0)).max() > 1e-5
+    assert np.abs(np.asarray(a) - np.asarray(d1)).max() > 1e-5
+    # a different seed moves the fresh-noise stream, not just the init
+    _, c = gen.generate(sampler="ddim", eta=0.5, **{**kw, "seed": 10})
+    assert np.abs(np.asarray(a) - np.asarray(c)).max() > 1e-5
+
+
+def test_eta_validation_errors():
+    gen = _small_gen()
+    labels = jnp.ones((1, 768))
+    kw = dict(labels=labels, num_imgs=1, img_size=8, n_iter=4)
+    with pytest.raises(ValueError, match="eta must be in"):
+        gen.generate(sampler="ddim", eta=1.5, **kw)
+    with pytest.raises(ValueError, match="stochastic DDIM"):
+        gen.generate(eta=0.5, **kw)  # default sampler is DPM++
+    with pytest.raises(ValueError, match="stochastic DDIM"):
+        gen.generate(sampler="heun", eta=0.5, **kw)
+    with pytest.raises(ValueError, match="fresh_noise IS eta=1"):
+        gen.generate(sampler="ddim", eta=0.5, fresh_noise=True, **kw)
+    init = jnp.zeros((1, 4, 8, 8))
+    with pytest.raises(ValueError, match="inpainting"):
+        gen.generate(sampler="ddim", eta=0.5, init_latents=init,
+                     mask=jnp.ones((1, 4, 8, 8)), **kw)
+
+
+def test_pipeline_eta_plumbing():
+    from tests.test_diffusion import tiny_ltd_config
+    from transformer_latent_diffusion_tpu.sampling import (
+        DiffusionTransformer,
+    )
+
+    dt = DiffusionTransformer(tiny_ltd_config())
+    kw = dict(num_imgs=1, seed=3, n_iter=4, class_guidance=3)
+    base = dt.generate_array_from_text("a cat", sampler="ddim", **kw)
+    stoch = dt.generate_array_from_text("a cat", sampler="ddim", eta=0.75,
+                                        **kw)
+    assert base.shape == stoch.shape
+    assert (base != stoch).any()
+
+
 def test_nonnative_sampling_matches_resized_params():
     """Sampling a non-native img_size resizes the pos table inside the
     sampler (DiffusionGenerator.pos_resize default) and must equal a

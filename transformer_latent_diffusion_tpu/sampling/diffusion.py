@@ -249,14 +249,14 @@ class DiffusionGenerator:
                    cache_interval: int = 1, masked: bool = False,
                    ctx_channels: int = 0, fresh_noise: bool = False,
                    cfg_rescale: float = 0.0, guidance_interval=None,
-                   heun: bool = False):
+                   heun: bool = False, eta: float = 0.0):
         """Build (and cache) the jitted scan for a given step-count/shape.
 
-        cfg_rescale / guidance_interval are compile-time constants (part
-        of the cache key) so the default path keeps the exact reference
-        combine with zero added ops in the hot scan body."""
+        cfg_rescale / guidance_interval / eta are compile-time constants
+        (part of the cache key) so the default path keeps the exact
+        reference combine with zero added ops in the hot scan body."""
         key = (n_steps, shape, cache_interval, masked, ctx_channels,
-               fresh_noise, cfg_rescale, guidance_interval, heun,
+               fresh_noise, cfg_rescale, guidance_interval, heun, eta,
                self.pos_resize is False)
         if key in self._compiled:
             return self._compiled[key]
@@ -401,17 +401,14 @@ class DiffusionGenerator:
 
             def step(carry, inputs):
                 x_t, x0_prev = carry
-                if fresh_noise:
+                if fresh_noise or eta:
                     i, curr, nxt, a, b = inputs
                 else:
                     curr, nxt, a, b = inputs
                 x0 = pred_x0(prepared, x_t, labels_cat, curr, class_guidance,
                              context, pos)
                 d = a * x0 + b * x0_prev
-                if fresh_noise:
-                    # consistency-style multistep: re-noise the x0
-                    # estimate with FRESH noise to the next level
-                    # (x_t is discarded — the model is its own solver).
+                if fresh_noise or eta:
                     # noise_key is PER-IMAGE (num_imgs keys): each
                     # image's noise stream depends only on its own key,
                     # so micro-batched requests reproduce their solo
@@ -420,7 +417,32 @@ class DiffusionGenerator:
                         lambda k: jax.random.normal(
                             jax.random.fold_in(k, i), x_t.shape[1:],
                             x_t.dtype))(noise_key)
+                if fresh_noise:
+                    # consistency-style multistep: re-noise the x0
+                    # estimate with FRESH noise to the next level
+                    # (x_t is discarded — the model is its own solver)
                     x_t = nxt * eps + (1.0 - nxt) * d
+                elif eta == 1.0:
+                    # endpoint special-cased at trace time (eta is a
+                    # compile-time constant) so eta=1 emits the
+                    # IDENTICAL expression to the fresh_noise branch —
+                    # XLA's FMA contraction would otherwise perturb the
+                    # bit-equality the tests pin
+                    x_t = nxt * eps + (1.0 - nxt) * d
+                elif eta:
+                    # eta-stochastic DDIM: under this schedule's
+                    # corruption x_t = s*eps + (1-s)*x0, the current
+                    # state implies eps_hat = (x_t - (1-s)*d)/s; mixing
+                    # sqrt(1-eta^2)*eps_hat + eta*eps_fresh keeps the
+                    # noise component unit-variance (the interpolation
+                    # analogue of DDIM's eta, Song et al. 2020 §4.1),
+                    # so eta=0 IS the deterministic DDIM update below
+                    # and eta=1 IS the fresh-noise ancestral path above
+                    # (same per-image noise streams; equality-tested)
+                    eps_hat = (x_t - (1.0 - curr) * d) / curr
+                    mix = (math.sqrt(1.0 - eta * eta) * eps_hat
+                           + eta * eps)
+                    x_t = nxt * mix + (1.0 - nxt) * d
                 else:
                     x_t = ((curr - nxt) * d + nxt * x_t) / curr
                 return (x_t, x0), None
@@ -473,8 +495,8 @@ class DiffusionGenerator:
                     (jnp.arange(n_steps),) + xs, length=n_steps,
                 )
             else:
-                step_xs = ((jnp.arange(n_steps),) + xs if fresh_noise
-                           else xs)
+                step_xs = ((jnp.arange(n_steps),) + xs
+                           if (fresh_noise or eta) else xs)
                 (x_t, _), _ = jax.lax.scan(
                     step_heun if heun else step,
                     (x_init, jnp.zeros_like(x_init)), step_xs,
@@ -567,6 +589,7 @@ class DiffusionGenerator:
         guidance_interval=None,
         sampler=None,
         schedule: str = "poly",
+        eta: float = 0.0,
     ):
         """Generate images via reverse diffusion.
 
@@ -624,6 +647,16 @@ class DiffusionGenerator:
         - schedule: noise-level spacing when noise_levels is None —
           "poly" (reference `1 - t^exponent`, default), "cosine", or
           "karras" (rho=7 NSR spacing; see make_noise_levels).
+        - eta in [0, 1]: stochastic DDIM (the interpolation analogue of
+          DDIM's eta, Song et al. 2020 §4.1). Each step replaces an
+          eta-fraction of the state's implied noise with a fresh draw:
+          eta=0 (default) is the exact deterministic DDIM update, eta=1
+          is exactly the fresh_noise ancestral path (same per-image
+          noise streams). Requires the DDIM update (sampler="ddim" or
+          use_ddpm_plus=False — the DPM++ multistep history assumes a
+          deterministic trajectory); excludes mask / fresh_noise /
+          cache_interval > 1. Deterministic per seed; a compile-time
+          constant of the cached scan (zero cost when 0).
 
         cache_interval > 1 enables Delta-DiT-style block caching on the
         fused engine: the middle layer groups are recomputed only every
@@ -656,6 +689,23 @@ class DiffusionGenerator:
                 raise ValueError("cache_interval > 1 (block caching) "
                                  "assumes the DDIM/DPM scan body; it "
                                  "excludes sampler='heun'")
+        eta = float(eta)
+        if not 0.0 <= eta <= 1.0:
+            raise ValueError(f"eta must be in [0, 1], got {eta}")
+        if eta:
+            if use_ddpm_plus or heun:
+                raise ValueError(
+                    "eta > 0 (stochastic DDIM) requires the DDIM update "
+                    "— pass sampler='ddim' or use_ddpm_plus=False (the "
+                    "DPM++/heun multistep history assumes a "
+                    "deterministic trajectory)")
+            if fresh_noise:
+                raise ValueError("fresh_noise IS eta=1; pass one or the "
+                                 "other")
+            if mask is not None:
+                raise ValueError("eta > 0 does not compose with "
+                                 "inpainting (the keep-region pinning "
+                                 "assumes the deterministic DDIM update)")
         if noise_levels is None:
             noise_levels = make_noise_levels(n_iter, exponent, schedule)
         else:
@@ -745,7 +795,7 @@ class DiffusionGenerator:
                         tp=self.pipeline_fn is None))
                 self._mesh_placed_params = self.params
 
-        if mask is not None or fresh_noise:
+        if mask is not None or fresh_noise or eta:
             cache_interval = 1  # block caching: plain DDIM/DPM scans only
         if not 0.0 <= cfg_rescale <= 1.0:
             raise ValueError(f"cfg_rescale must be in [0, 1], got "
@@ -762,7 +812,7 @@ class DiffusionGenerator:
                               fresh_noise=fresh_noise,
                               cfg_rescale=float(cfg_rescale),
                               guidance_interval=guidance_interval,
-                              heun=heun)
+                              heun=heun, eta=eta)
         args = (
             self.params,
             x_t,
@@ -782,7 +832,7 @@ class DiffusionGenerator:
         kw = {}
         if ctx is not None:
             kw["context"] = ctx
-        if fresh_noise:
+        if fresh_noise or eta:
             if fresh_noise_keys is not None:
                 # per-request streams (serving micro-batcher): one key
                 # per image, built by the caller from each request's

@@ -343,6 +343,7 @@ class DiffusionTransformer:
         guidance_interval=None,
         sampler=None,
         schedule="poly",
+        eta=0.0,
     ):
         """Prompt -> PIL image grid. Parity: reference diffusion.py:165-186
         (including: the latent size comes from the model's image_size; the
@@ -355,7 +356,8 @@ class DiffusionTransformer:
         overriding num_imgs. cfg_rescale / guidance_interval are the
         guidance quality knobs; sampler ("ddim"/"dpm"/"heun") and
         schedule ("poly"/"cosine"/"karras") select the solver and
-        noise-level spacing (see DiffusionGenerator.generate)."""
+        noise-level spacing; eta in (0, 1] is stochastic DDIM (requires
+        sampler="ddim"; see DiffusionGenerator.generate)."""
         num_imgs = len(prompt) if isinstance(prompt, (list, tuple)) \
             else num_imgs
         out = self.generate_array_from_text(
@@ -364,7 +366,7 @@ class DiffusionTransformer:
             cache_interval=cache_interval, negative_prompt=negative_prompt,
             pad_to=pad_to, cfg_rescale=cfg_rescale,
             guidance_interval=guidance_interval, sampler=sampler,
-            schedule=schedule)
+            schedule=schedule, eta=eta)
         return uint8_grid_to_pil(out, nrow=int(math.sqrt(num_imgs)),
                                  padding=4)
 
@@ -382,6 +384,7 @@ class DiffusionTransformer:
         guidance_interval=None,
         sampler=None,
         schedule="poly",
+        eta=0.0,
     ):
         """Like generate_image_from_text but returns the raw images as a
         (num_imgs, H, W, 3) uint8 array instead of a PIL grid — the form
@@ -402,9 +405,9 @@ class DiffusionTransformer:
         if self.consistency:
             # consistency students sample with the fresh-noise multistep
             # update; the DDIM/DPM/heun machinery does not apply
-            if sampler is not None or schedule != "poly":
+            if sampler is not None or schedule != "poly" or eta:
                 raise ValueError(
-                    "sampler/schedule select the ODE solver; a "
+                    "sampler/schedule/eta select the ODE solver; a "
                     "consistency deployment (LTDConfig.consistency) "
                     "uses the fresh-noise multistep update instead")
             if cache_interval != 1:
@@ -432,6 +435,7 @@ class DiffusionTransformer:
             guidance_interval=guidance_interval,
             sampler=sampler,
             schedule=schedule,
+            eta=eta,
             **extra,
         )
         return np.asarray(out)[:num_imgs]

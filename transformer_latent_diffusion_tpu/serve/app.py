@@ -8,7 +8,7 @@ streaming response, 401 on bad token, 500 with detail on generation error.
 Beyond-reference request fields: n_iter, cache_interval, negative_prompt,
 init_image/mask/strength (base64 payloads for img2img + inpainting),
 interpolate_to/seed_b, best_of, and the solver knobs
-sampler/schedule/cfg_rescale (plain text-to-image requests only).
+sampler/schedule/cfg_rescale/eta (plain text-to-image requests only).
 
 Two frontends over one core handler:
   * `create_fastapi_app` — used when fastapi is installed (same routes /
@@ -253,7 +253,8 @@ class GenerationService:
                        best_of: Optional[int] = None,
                        sampler: Optional[str] = None,
                        schedule: str = "poly",
-                       cfg_rescale: float = 0.0) -> bytes:
+                       cfg_rescale: float = 0.0,
+                       eta: float = 0.0) -> bytes:
         if sampler is not None and sampler not in ("ddim", "dpm", "heun"):
             raise ValueError(f"unknown sampler {sampler!r}; expected "
                              f"'ddim', 'dpm' or 'heun'")
@@ -263,13 +264,19 @@ class GenerationService:
         if not 0.0 <= cfg_rescale <= 1.0:
             raise ValueError(f"cfg_rescale must be in [0, 1], got "
                              f"{cfg_rescale}")
-        # cfg_rescale is a compile-time constant of the scan: snap it to
-        # quarters so a client sweeping values can force at most 5
-        # compiled variants per (num_imgs, n_iter) pair
+        if not 0.0 <= eta <= 1.0:
+            raise ValueError(f"eta must be in [0, 1], got {eta}")
+        if eta and sampler != "ddim":
+            raise ValueError("eta > 0 (stochastic DDIM) requires "
+                             "sampler='ddim'")
+        # cfg_rescale / eta are compile-time constants of the scan: snap
+        # them to quarters so a client sweeping values can force at most
+        # 5 compiled variants each per (num_imgs, n_iter) pair
         cfg_rescale = round(cfg_rescale * 4) / 4.0
+        eta = round(eta * 4) / 4.0
         # solver knobs are part of the micro-batcher's grouping key, so
         # only requests sharing a compiled scan coalesce (sampler/
-        # schedule/cfg_rescale do not reach the img2img/interpolation/
+        # schedule/cfg_rescale/eta do not reach the img2img/interpolation/
         # best-of specialty paths, which keep reference solver semantics)
         solver_kw = {}
         if sampler is not None:
@@ -278,11 +285,13 @@ class GenerationService:
             solver_kw["schedule"] = schedule
         if cfg_rescale:
             solver_kw["cfg_rescale"] = cfg_rescale
+        if eta:
+            solver_kw["eta"] = eta
         if solver_kw and (init_image is not None or best_of is not None
                           or interpolate_to is not None
                           or seed_b is not None):
-            raise ValueError("sampler/schedule/cfg_rescale apply to plain "
-                             "text-to-image requests only")
+            raise ValueError("sampler/schedule/cfg_rescale/eta apply to "
+                             "plain text-to-image requests only")
         if sampler == "heun" and cache_interval > 1:
             raise ValueError("cache_interval > 1 (block caching) excludes "
                              "sampler='heun'")
@@ -416,11 +425,11 @@ REQUEST_DEFAULTS = {"class_guidance": 6, "seed": 11, "num_imgs": 1,
                     "mask": None, "strength": None,
                     "interpolate_to": None, "seed_b": None,
                     "best_of": None, "sampler": None, "schedule": "poly",
-                    "cfg_rescale": 0.0}
+                    "cfg_rescale": 0.0, "eta": 0.0}
 # fields pydantic types as non-Optional: explicit null -> 422, both frontends
 NON_NULLABLE_FIELDS = ("prompt", "class_guidance", "seed", "num_imgs",
                        "img_size", "n_iter", "cache_interval", "schedule",
-                       "cfg_rescale")
+                       "cfg_rescale", "eta")
 # fields pydantic types as int / Optional[int]: wrong-typed values 422 on
 # the FastAPI frontend, so the raw-JSON WSGI frontend must match
 INT_FIELDS = ("class_guidance", "seed", "num_imgs", "img_size", "n_iter",
@@ -469,6 +478,7 @@ def _validate_solver_fields(payload: dict) -> Optional[str]:
     sampler = payload.get("sampler")
     schedule = payload.get("schedule", "poly")
     cfg_rescale = payload.get("cfg_rescale", 0.0)
+    eta = payload.get("eta", 0.0)
     if sampler is not None and not isinstance(sampler, str):
         return "sampler must be a string"
     if schedule is not None and not isinstance(schedule, str):
@@ -481,6 +491,12 @@ def _validate_solver_fields(payload: dict) -> Optional[str]:
         except (TypeError, ValueError):
             return "cfg_rescale must be a number"
         payload["cfg_rescale"] = cfg_rescale
+    if eta is not None:
+        try:
+            eta = float(eta)
+        except (TypeError, ValueError):
+            return "eta must be a number"
+        payload["eta"] = eta
     if sampler is not None and sampler not in ("ddim", "dpm", "heun"):
         return "sampler must be one of 'ddim', 'dpm', 'heun'"
     if schedule is not None and schedule not in ("poly", "cosine",
@@ -488,12 +504,16 @@ def _validate_solver_fields(payload: dict) -> Optional[str]:
         return "schedule must be one of 'poly', 'cosine', 'karras'"
     if cfg_rescale is not None and not 0.0 <= cfg_rescale <= 1.0:
         return "cfg_rescale must be in [0, 1]"
+    if eta is not None and not 0.0 <= eta <= 1.0:
+        return "eta must be in [0, 1]"
+    if eta and sampler != "ddim":
+        return "eta > 0 (stochastic DDIM) requires sampler='ddim'"
     non_default = (sampler is not None or (schedule or "poly") != "poly"
-                   or bool(cfg_rescale))
+                   or bool(cfg_rescale) or bool(eta))
     if non_default and any(
             payload.get(k) is not None
             for k in ("init_image", "best_of", "interpolate_to", "seed_b")):
-        return ("sampler/schedule/cfg_rescale apply to plain "
+        return ("sampler/schedule/cfg_rescale/eta apply to plain "
                 "text-to-image requests only")
     if sampler == "heun" and payload.get("cache_interval", 1) > 1:
         return "cache_interval > 1 excludes sampler='heun'"
@@ -508,8 +528,9 @@ def _validate_consistency_fields(payload: dict, svc) -> Optional[str]:
     if not getattr(svc.transformer, "consistency", False):
         return None
     if (payload.get("sampler") is not None
-            or payload.get("schedule", "poly") not in (None, "poly")):
-        return ("sampler/schedule do not apply to a consistency "
+            or payload.get("schedule", "poly") not in (None, "poly")
+            or payload.get("eta", 0.0)):
+        return ("sampler/schedule/eta do not apply to a consistency "
                 "deployment (fresh-noise multistep sampling)")
     if payload.get("cache_interval", 1) not in (None, 1):
         return "cache_interval does not apply to a consistency deployment"
@@ -682,6 +703,10 @@ def create_fastapi_app(cfg: Optional[LTDConfig] = None, service=None):
         sampler: Optional[str] = None
         schedule: str = "poly"
         cfg_rescale: float = 0.0
+        # stochastic DDIM: eta in [0,1] replaces an eta-fraction of the
+        # state's implied noise with a fresh per-image draw each step
+        # (requires sampler="ddim"; server snaps it to quarters)
+        eta: float = 0.0
 
     @app.get("/")
     def read_root():
@@ -735,7 +760,7 @@ def create_fastapi_app(cfg: Optional[LTDConfig] = None, service=None):
                 interpolate_to=request.interpolate_to, seed_b=request.seed_b,
                 best_of=request.best_of,
                 sampler=request.sampler, schedule=request.schedule,
-                cfg_rescale=request.cfg_rescale,
+                cfg_rescale=request.cfg_rescale, eta=request.eta,
             )
             eff = svc.effective_n_iter(request.n_iter)
             headers = ({"X-Effective-N-Iter": str(eff)}

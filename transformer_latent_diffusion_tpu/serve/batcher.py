@@ -10,8 +10,8 @@ Design:
   * requests enqueue (prompt, guidance, seed, num_imgs, n_iter) and block
     on an event; a single worker thread drains the queue;
   * each cycle groups requests by the solver key (n_iter, sampler,
-    schedule, cfg_rescale) — the knobs that change the compiled scan's
-    math — packs up to `max_batch` images, and pads the
+    schedule, cfg_rescale, eta) — the knobs that change the compiled
+    scan's math — packs up to `max_batch` images, and pads the
     batch up to a fixed BUCKET size so XLA compiles one program per
     bucket instead of one per batch size;
   * per-request seeding is preserved: each request's initial noise is
@@ -61,10 +61,11 @@ class _Request:
     n_iter: int
     negative_prompt: Optional[str] = None
     # solver knobs (sampler/schedule change the scan body/levels,
-    # cfg_rescale is a compile-time constant): part of the grouping key
+    # cfg_rescale/eta are compile-time constants): part of the grouping key
     sampler: Optional[str] = None
     schedule: str = "poly"
     cfg_rescale: float = 0.0
+    eta: float = 0.0
     # editing payloads (img2img / inpainting): already in latent units,
     # expanded to per-image shape (num_imgs,C,S,S) / (num_imgs,1,S,S).
     # strength selects the scan length (n_skip), so it is part of the
@@ -140,7 +141,7 @@ class MicroBatcher:
                  n_iter: int = 15, timeout: Optional[float] = None,
                  negative_prompt: Optional[str] = None,
                  sampler: Optional[str] = None, schedule: str = "poly",
-                 cfg_rescale: float = 0.0,
+                 cfg_rescale: float = 0.0, eta: float = 0.0,
                  init_image=None, mask=None,
                  strength: Optional[float] = None):
         """Blocking generate; returns the same PIL grid as
@@ -162,12 +163,18 @@ class MicroBatcher:
         init_lat = pooled = None
         if getattr(self.transformer, "consistency", False) and (
                 init_image is not None or sampler is not None
-                or schedule != "poly"):
+                or schedule != "poly" or eta):
             raise ValueError(
                 "a consistency deployment (LTDConfig.consistency) "
                 "serves text-to-image with the fresh-noise sampler "
-                "only — editing and sampler/schedule knobs do not "
+                "only — editing and sampler/schedule/eta knobs do not "
                 "apply")
+        if eta and sampler != "ddim":
+            raise ValueError("eta > 0 (stochastic DDIM) requires "
+                             "sampler='ddim'")
+        if eta and init_image is not None:
+            raise ValueError("eta > 0 applies to plain text-to-image "
+                             "requests only")
         if mask is not None and init_image is None:
             raise ValueError("mask requires init_image (inpainting is "
                              "masked img2img)")
@@ -198,7 +205,7 @@ class MicroBatcher:
                        seed=int(seed), num_imgs=num_imgs,
                        n_iter=int(n_iter), negative_prompt=negative_prompt,
                        sampler=sampler, schedule=str(schedule),
-                       cfg_rescale=float(cfg_rescale),
+                       cfg_rescale=float(cfg_rescale), eta=float(eta),
                        init_latents=init_lat, mask=pooled,
                        strength=None if strength is None else float(strength))
         with self._lock:
@@ -294,7 +301,8 @@ class MicroBatcher:
                 batch.append(nxt)
                 n_imgs += nxt.num_imgs
             # group by the solver key — step count / sampler / schedule /
-            # cfg_rescale each select a different scan (or levels array),
+            # cfg_rescale / eta each select a different scan (or levels
+            # array),
             # a mask selects the masked scan body, and strength selects
             # the scan length (n_skip); everything else (prompts, seeds,
             # guidance, init images) batches freely
@@ -307,7 +315,7 @@ class MicroBatcher:
                             "img2img" if r.init_latents is not None
                             else "t2i")
                     key = (r.n_iter, r.sampler, r.schedule, r.cfg_rescale,
-                           kind, r.strength)
+                           r.eta, kind, r.strength)
                     by_key.setdefault(key, []).append(r)
             for key, reqs in by_key.items():
                 try:
@@ -331,7 +339,8 @@ class MicroBatcher:
 
     def _serve_group(self, reqs: List[_Request], n_iter: int,
                      sampler: Optional[str] = None, schedule: str = "poly",
-                     cfg_rescale: float = 0.0, kind: str = "t2i",
+                     cfg_rescale: float = 0.0, eta: float = 0.0,
+                     kind: str = "t2i",
                      strength: Optional[float] = None):
         tr = self.transformer
         model = tr.diffuser.model
@@ -414,9 +423,10 @@ class MicroBatcher:
         # Per-request noise keys (fresh_noise_image_keys) keep every
         # image's re-noising stream identical to its solo run — batch
         # composition cannot change results (same guarantee the seeds
-        # array gives the init noise).
+        # array gives the init noise). eta-stochastic DDIM requests use
+        # the same per-request key machinery for their fresh-noise draws.
         extra = {}
-        if getattr(tr, "consistency", False):
+        if getattr(tr, "consistency", False) or eta:
             from transformer_latent_diffusion_tpu.sampling.diffusion import (
                 fresh_noise_image_keys,
             )
@@ -430,9 +440,12 @@ class MicroBatcher:
             key_rows = [_keys(r.seed, r.num_imgs) for r in reqs]
             if b > n:
                 key_rows.append(np.repeat(key_rows[0][:1], b - n, 0))
-            extra = dict(fresh_noise=True, use_ddpm_plus=False,
-                         fresh_noise_keys=np.concatenate(key_rows,
-                                                         axis=0))
+            noise_keys = np.concatenate(key_rows, axis=0)
+            if eta:  # sampler == "ddim" enforced at enqueue time
+                extra = dict(eta=eta, fresh_noise_keys=noise_keys)
+            else:
+                extra = dict(fresh_noise=True, use_ddpm_plus=False,
+                             fresh_noise_keys=noise_keys)
         out, _ = tr.diffuser.generate(
             labels=jnp.asarray(labels),
             seeds=jnp.asarray(seeds),

@@ -46,7 +46,8 @@ def generate_image_from_text(prompt: str, class_guidance: float = 6,
                              n_frames: int = 4,
                              best_of: float = 1,
                              sampler: str = "default",
-                             cfg_rescale: float = 0.0):
+                             cfg_rescale: float = 0.0,
+                             eta: float = 0.0):
     import requests
     from PIL import Image
 
@@ -82,6 +83,9 @@ def generate_image_from_text(prompt: str, class_guidance: float = 6,
             data["sampler"] = sampler
         if cfg_rescale:
             data["cfg_rescale"] = float(cfg_rescale)
+        if eta and sampler == "ddim":
+            # stochastic DDIM (server rejects eta on other samplers)
+            data["eta"] = float(eta)
 
     response = requests.post(url, json=data, headers=headers)
     if response.status_code == 200:
@@ -116,7 +120,10 @@ def build_interface():
                 gr.Dropdown(["default", "ddim", "dpm", "heun"],
                             value="default", label="Sampler"),
                 gr.Slider(0.0, 1.0, value=0.0, step=0.25,
-                          label="CFG rescale (0 = off)")],
+                          label="CFG rescale (0 = off)"),
+                gr.Slider(0.0, 1.0, value=0.0, step=0.25,
+                          label="Eta (stochastic DDIM; needs "
+                                "Sampler=ddim; 0 = off)")],
         outputs="image",
         title="Text-to-Image Generator",
         description="Enter a text prompt to generate an image. Optionally "
