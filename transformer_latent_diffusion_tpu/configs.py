@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import json
 from dataclasses import asdict, dataclass, field
-from typing import Any, Optional, Tuple
+from typing import Any, Optional, Tuple, Union
 
 import jax.numpy as jnp
 
@@ -243,6 +243,17 @@ class TrainConfig:
     # targets use the SAME effective noise, so eps/v training stays
     # self-consistent. 0 = off (reference behavior).
     offset_noise: float = 0.0
+    # resolution-dependent schedule shift (beyond reference; Esser et
+    # al. 2024 §5.3.2, the SD3 timestep shift — it applies verbatim to
+    # this repo's linear-interpolation corruption, see
+    # sampling.diffusion.shift_noise_levels): the Beta(a,b) noise-level
+    # draw is mapped through s' = k*s/(1+(k-1)*s) before corrupting.
+    # None (default) = off (exact reference draw); a float > 0 is a
+    # global shift; "auto" derives k per resolution bucket as
+    # batch_size_px / native_size_px (the sqrt-token-ratio rule), so a
+    # multires run trains each bucket at its own re-balanced noise
+    # distribution while the native bucket stays bit-identical to off.
+    schedule_shift: Optional[Union[float, str]] = None
     mesh_shape: Optional[Tuple[int, int]] = None  # (data, model); None = all-data
     param_dtype: str = "float32"
     compute_dtype: str = "bfloat16"

@@ -81,6 +81,30 @@ def make_noise_levels(n_iter: int, exponent: float = 1.0,
     return levels.astype(np.float64)
 
 
+def shift_noise_levels(levels: np.ndarray, shift: float) -> np.ndarray:
+    """Resolution-dependent schedule shift (Esser et al. 2024 §5.3.2 —
+    the SD3/flux timestep shift). This repo's corruption
+    `x = s*eps + (1-s)*x0` is exactly the linear-interpolation schedule
+    the shift was derived for, so the map applies verbatim to the
+    interpolation coefficient:
+
+        s' = shift * s / (1 + (shift - 1) * s)
+
+    shift > 1 moves every level toward HIGHER noise: at k x the native
+    resolution the same s destroys less information (spatially redundant
+    pixels average the noise away), and shift = k — the square root of
+    the token-count ratio — restores the native-resolution uncertainty
+    profile. The map is monotone with fixed points 0 and 1, so the
+    samplers' strictly-decreasing-levels contract is preserved;
+    shift = 1 is the identity (callers skip the call entirely there to
+    keep the default path bit-exact)."""
+    shift = float(shift)
+    if shift <= 0.0:
+        raise ValueError(f"schedule shift must be > 0, got {shift}")
+    s = np.asarray(levels, dtype=np.float64)
+    return shift * s / (1.0 + (shift - 1.0) * s)
+
+
 def make_step_coeffs(noise_levels: np.ndarray, use_ddpm_plus: bool) -> Tuple[np.ndarray, np.ndarray]:
     """Per-step x0-combination coefficients: D = c1[i]*x0 + c2[i]*x0_prev.
 
@@ -590,6 +614,7 @@ class DiffusionGenerator:
         sampler=None,
         schedule: str = "poly",
         eta: float = 0.0,
+        schedule_shift=None,
     ):
         """Generate images via reverse diffusion.
 
@@ -657,6 +682,17 @@ class DiffusionGenerator:
           deterministic trajectory); excludes mask / fresh_noise /
           cache_interval > 1. Deterministic per seed; a compile-time
           constant of the cached scan (zero cost when 0).
+        - schedule_shift: resolution-dependent schedule shift (Esser et
+          al. 2024, SD3; see shift_noise_levels). A float > 0 maps every
+          noise level via s' = k*s/(1+(k-1)*s) (k > 1 = more time at
+          high noise); "auto" uses k = img_size / native size — the
+          sqrt-token-ratio rule — so hi-res sampling of an upsampled /
+          multires model re-balances the solver grid the same way the
+          training-side TrainConfig.schedule_shift="auto" re-balances
+          the noise draw. None (default) / 1.0 = exact reference grid.
+          Applies on the host to whatever levels are in effect
+          (n_iter/exponent/schedule or explicit noise_levels) — the
+          levels are a traced argument, so no recompile per shift.
 
         cache_interval > 1 enables Delta-DiT-style block caching on the
         fused engine: the middle layer groups are recomputed only every
@@ -712,6 +748,17 @@ class DiffusionGenerator:
             noise_levels = np.asarray(noise_levels, dtype=np.float64).copy()
             if clamp_first:
                 noise_levels[0] = 0.99
+        if schedule_shift is not None:
+            if schedule_shift == "auto":
+                native = getattr(self.model, "image_size", None)
+                if not native:
+                    raise ValueError(
+                        "schedule_shift='auto' needs the model's native "
+                        "image_size; pass an explicit float shift")
+                schedule_shift = img_size / native
+            if float(schedule_shift) != 1.0:  # identity: keep bit-exact
+                noise_levels = shift_noise_levels(noise_levels,
+                                                  schedule_shift)
         if init_latents is not None:
             if not 0.0 < strength <= 1.0:
                 raise ValueError(f"strength must be in (0, 1], got {strength}")

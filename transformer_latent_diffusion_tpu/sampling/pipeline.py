@@ -344,6 +344,7 @@ class DiffusionTransformer:
         sampler=None,
         schedule="poly",
         eta=0.0,
+        schedule_shift=None,
     ):
         """Prompt -> PIL image grid. Parity: reference diffusion.py:165-186
         (including: the latent size comes from the model's image_size; the
@@ -357,7 +358,8 @@ class DiffusionTransformer:
         guidance quality knobs; sampler ("ddim"/"dpm"/"heun") and
         schedule ("poly"/"cosine"/"karras") select the solver and
         noise-level spacing; eta in (0, 1] is stochastic DDIM (requires
-        sampler="ddim"; see DiffusionGenerator.generate)."""
+        sampler="ddim"); schedule_shift > 1 re-balances the grid toward
+        high noise (SD3 shift — see DiffusionGenerator.generate)."""
         num_imgs = len(prompt) if isinstance(prompt, (list, tuple)) \
             else num_imgs
         out = self.generate_array_from_text(
@@ -366,7 +368,7 @@ class DiffusionTransformer:
             cache_interval=cache_interval, negative_prompt=negative_prompt,
             pad_to=pad_to, cfg_rescale=cfg_rescale,
             guidance_interval=guidance_interval, sampler=sampler,
-            schedule=schedule, eta=eta)
+            schedule=schedule, eta=eta, schedule_shift=schedule_shift)
         return uint8_grid_to_pil(out, nrow=int(math.sqrt(num_imgs)),
                                  padding=4)
 
@@ -385,6 +387,7 @@ class DiffusionTransformer:
         sampler=None,
         schedule="poly",
         eta=0.0,
+        schedule_shift=None,
     ):
         """Like generate_image_from_text but returns the raw images as a
         (num_imgs, H, W, 3) uint8 array instead of a PIL grid — the form
@@ -405,11 +408,13 @@ class DiffusionTransformer:
         if self.consistency:
             # consistency students sample with the fresh-noise multistep
             # update; the DDIM/DPM/heun machinery does not apply
-            if sampler is not None or schedule != "poly" or eta:
+            if (sampler is not None or schedule != "poly" or eta
+                    or schedule_shift is not None):
                 raise ValueError(
-                    "sampler/schedule/eta select the ODE solver; a "
-                    "consistency deployment (LTDConfig.consistency) "
-                    "uses the fresh-noise multistep update instead")
+                    "sampler/schedule/eta/schedule_shift select the ODE "
+                    "solver; a consistency deployment "
+                    "(LTDConfig.consistency) uses the fresh-noise "
+                    "multistep update instead")
             if cache_interval != 1:
                 raise ValueError("cache_interval > 1 (block caching) "
                                  "assumes the DDIM/DPM scan body; it "
@@ -436,6 +441,7 @@ class DiffusionTransformer:
             sampler=sampler,
             schedule=schedule,
             eta=eta,
+            schedule_shift=schedule_shift,
             **extra,
         )
         return np.asarray(out)[:num_imgs]

@@ -232,6 +232,30 @@ def build_loss_fn(model: Denoiser, train_cfg, vae_scale_factor,
     tree for that size. The grid is static per compiled step, so the
     native path is untouched."""
     outpaint = bool(getattr(train_cfg, "outpaint", False))
+    shift_cfg = getattr(train_cfg, "schedule_shift", None)
+    if shift_cfg is not None and shift_cfg != "auto":
+        shift_cfg = float(shift_cfg)
+        if shift_cfg <= 0.0:
+            raise ValueError(
+                f"schedule_shift must be > 0 or 'auto', got {shift_cfg}")
+
+    def _resolve_shift(x):
+        """Static per compiled batch shape (the bucket's latent size is
+        a compile-time constant). 'auto' = batch px / native px — the
+        SD3 sqrt-token-ratio rule; 1.0 collapses to None so the native
+        bucket stays bit-identical to schedule_shift=None."""
+        if shift_cfg is None:
+            return None
+        if shift_cfg == "auto":
+            native = getattr(model, "image_size", None)
+            if not native:
+                raise ValueError(
+                    "schedule_shift='auto' needs the model's native "
+                    "image_size; pass an explicit float shift")
+            s = x.shape[-1] / native
+        else:
+            s = shift_cfg
+        return None if s == 1.0 else s
     # regression target per the model's prediction objective
     # (DenoiserConfig.objective; see sampling.diffusion.prediction_to_x0):
     # "x0" -> clean latent (reference train.py:166-167), "eps" -> the
@@ -341,6 +365,13 @@ def build_loss_fn(model: Denoiser, train_cfg, vae_scale_factor,
         noise_level = sample_beta(
             r_beta, train_cfg.beta_a, train_cfg.beta_b, (n, 1)
         )
+        shift = _resolve_shift(x)
+        if shift is not None:
+            # SD3 timestep shift (TrainConfig.schedule_shift): the
+            # shifted level is the TRUE corruption level, so it feeds
+            # the noise embedding, the target and the loss weight alike
+            noise_level = (shift * noise_level
+                           / (1.0 + (shift - 1.0) * noise_level))
         nl = noise_level[:, :, None, None]
         noise = jax.random.normal(r_noise, x.shape, dtype=x.dtype)
         if offset_noise:
