@@ -53,6 +53,20 @@ def main():
                     help="--weights is a consistency-distilled student "
                          "(examples/distill_fewstep.py): fresh-noise "
                          "multistep sampling — pair with --n-iter 1-4")
+    ap.add_argument("--sampler", default=None,
+                    choices=("ddim", "dpm", "heun"),
+                    help="solver (default: reference DPM++(2M))")
+    ap.add_argument("--schedule", default="poly",
+                    choices=("poly", "cosine", "karras"),
+                    help="noise-level spacing")
+    ap.add_argument("--eta", type=float, default=0.0,
+                    help="stochastic DDIM in [0,1] (requires "
+                         "--sampler ddim); 1 = ancestral")
+    ap.add_argument("--cfg-rescale", type=float, default=0.0,
+                    help="guidance-rescale in [0,1] (Lin et al. 2023)")
+    ap.add_argument("--schedule-shift", type=float, default=None,
+                    help="SD3 timestep shift k > 0 (k > 1 = more time "
+                         "at high noise)")
     args = ap.parse_args()
 
     from transformer_latent_diffusion_tpu.configs import (
@@ -116,10 +130,21 @@ def main():
             seed=args.seed, n_iter=args.n_iter,
             negative_prompt=args.negative_prompt)
     else:
+        solver_kw = {}
+        if args.sampler is not None:
+            solver_kw["sampler"] = args.sampler
+        if args.schedule != "poly":
+            solver_kw["schedule"] = args.schedule
+        if args.eta:
+            solver_kw["eta"] = args.eta
+        if args.cfg_rescale:
+            solver_kw["cfg_rescale"] = args.cfg_rescale
+        if args.schedule_shift is not None:
+            solver_kw["schedule_shift"] = args.schedule_shift
         img = dt.generate_image_from_text(
             prompt=args.prompt, class_guidance=args.class_guidance,
             seed=args.seed, num_imgs=args.num_imgs, n_iter=args.n_iter,
-            negative_prompt=args.negative_prompt)
+            negative_prompt=args.negative_prompt, **solver_kw)
     img.save(args.out)
     print(f"saved {args.out}")
 

@@ -17,6 +17,16 @@ def test_example_generate_tiny(tmp_path, monkeypatch):
     img = PIL.Image.open(out)
     assert img.size[0] > 0
 
+    # solver flags reach the pipeline (stochastic DDIM + SD3 shift)
+    out2 = str(tmp_path / "out_solver.png")
+    monkeypatch.setattr(sys, "argv", [
+        "examples/generate.py", "--tiny", "--n-iter", "4", "--out", out2,
+        "--sampler", "ddim", "--eta", "0.5", "--schedule-shift", "1.5",
+        "--cfg-rescale", "0.25"])
+    runpy.run_path(os.path.join(root, "examples", "generate.py"),
+                   run_name="__main__")
+    assert PIL.Image.open(out2).size[0] > 0
+
 
 def test_example_generate_img2img_and_inpaint(tmp_path, monkeypatch):
     import numpy as np
