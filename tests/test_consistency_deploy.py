@@ -89,6 +89,8 @@ def test_rejects_non_t2i_features(tr):
         tr.generate_image_from_text("x", n_iter=2, cache_interval=2)
     with pytest.raises(ValueError, match="consistency"):
         tr.generate_image_from_text("x", n_iter=2, eta=0.5)
+    with pytest.raises(ValueError, match="consistency"):
+        tr.generate_image_from_text("x", n_iter=2, schedule_shift=2.0)
 
 
 def test_best_of_rides_consistency(tr):
