@@ -34,7 +34,16 @@ def upsample_denoiser_params(params: Dict[str, Any], old_image_size: int,
 
 def finetune_highres(config, base_params, old_image_size: int):
     """Upsample pos-embeds from a trained base model and run train.main
-    at config.denoiser_config.image_size (the new, larger resolution)."""
+    at config.denoiser_config.image_size (the new, larger resolution).
+
+    Schedule-shift note (measured, docs/DESIGN.md "Resolution-dependent
+    schedule shift"): in this setting the fine-tuned model's native size
+    IS the new size, so TrainConfig.schedule_shift="auto" resolves to 1
+    — to train with the SD3 shift pass it EXPLICITLY as
+    new_image_size / old_image_size (and the same value to
+    generate(schedule_shift=...) at sampling time). The sampler-side
+    grid shift alone was the larger lever in the fine-tune probe
+    (scripts/probe_shift_finetune.py) and needs no retraining."""
     from transformer_latent_diffusion_tpu.train.train import main
 
     params_hr = upsample_denoiser_params(
