@@ -95,6 +95,66 @@ def test_pipeline_schedule_shift_plumbing():
     assert (base != sh).any()
 
 
+def test_deployment_schedule_shift():
+    """LTDConfig.schedule_shift: deployment-level default for t2i
+    sampling — equal to passing the same value per call, overridden by
+    an explicit per-call value, mirrored by the micro-batcher, rejected
+    on consistency deployments."""
+    from dataclasses import replace as dc_replace
+
+    from tests.test_diffusion import tiny_ltd_config
+    from transformer_latent_diffusion_tpu.sampling import (
+        DiffusionTransformer,
+    )
+
+    cfg = tiny_ltd_config()
+    dt_plain = DiffusionTransformer(cfg)
+    dt_shift = DiffusionTransformer(dc_replace(cfg, schedule_shift=2.0))
+    kw = dict(num_imgs=1, seed=3, n_iter=4, class_guidance=3)
+    a = dt_plain.generate_array_from_text("a cat", schedule_shift=2.0,
+                                          **kw)
+    b = dt_shift.generate_array_from_text("a cat", **kw)
+    np.testing.assert_array_equal(a, b)
+    base = dt_plain.generate_array_from_text("a cat", **kw)
+    assert (b != base).any()
+    # per-call value overrides the deployment default...
+    c = dt_shift.generate_array_from_text("a cat", schedule_shift=3.0,
+                                          **kw)
+    d = dt_plain.generate_array_from_text("a cat", schedule_shift=3.0,
+                                          **kw)
+    np.testing.assert_array_equal(c, d)
+    # ...including 1.0 as the explicit escape hatch back to no shift
+    e = dt_shift.generate_array_from_text("a cat", schedule_shift=1.0,
+                                          **kw)
+    np.testing.assert_array_equal(e, base)
+
+    # the micro-batcher ships the deployment default with t2i groups
+    from transformer_latent_diffusion_tpu.serve.batcher import MicroBatcher
+
+    seen = []
+    orig = dt_shift.diffuser.generate
+
+    def spy(*args, **kwargs):
+        seen.append(kwargs.get("schedule_shift"))
+        return orig(*args, **kwargs)
+
+    dt_shift.diffuser.generate = spy
+    mb = MicroBatcher(dt_shift, max_batch=2, max_wait_ms=10.0)
+    try:
+        img = mb.generate("a cat", n_iter=4, timeout=120)
+        assert img.size[0] > 0
+    finally:
+        mb.close()
+        dt_shift.diffuser.generate = orig
+    assert seen == [2.0], seen
+
+    with pytest.raises(ValueError, match="consistency"):
+        DiffusionTransformer(dc_replace(cfg, schedule_shift=2.0,
+                                        consistency=True))
+    with pytest.raises(ValueError, match="must be > 0"):
+        DiffusionTransformer(dc_replace(cfg, schedule_shift=-1.0))
+
+
 def _loss(tcfg, grid=8, seed=0):
     model = Denoiser(**asdict(SMALL))
     params = init_denoiser_params(model, SMALL)

@@ -368,6 +368,15 @@ class LTDConfig:
     # sampled at class_guidance=1. Text-to-image (incl. negative
     # prompts and best-of-N) only.
     consistency: bool = False
+    # beyond reference: deployment-level SD3 schedule shift (see
+    # sampling.diffusion.shift_noise_levels and the DESIGN tables) —
+    # the default `schedule_shift` for text-to-image sampling
+    # (generate_array_from_text + the serving micro-batcher; a per-call
+    # value still overrides). A 512px fine-tuned deployment sets
+    # new px / pretrain px here (e.g. 2.0) so HTTP traffic — which has
+    # no per-request shift field — samples on the measured-better grid.
+    # Editing/interpolation paths keep the reference grid. None = off.
+    schedule_shift: Optional[float] = None
 
 
 @dataclass

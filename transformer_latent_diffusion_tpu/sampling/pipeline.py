@@ -241,7 +241,22 @@ class DiffusionTransformer:
         # preserved — in the boundary-exact consistency function; the
         # generate paths then run the fresh-noise multistep sampler
         self.consistency = bool(getattr(cfg, "consistency", False))
+        # deployment-level SD3 schedule shift (LTDConfig.schedule_shift):
+        # the default for t2i sampling; per-call values override
+        self.schedule_shift = getattr(cfg, "schedule_shift", None)
+        if self.schedule_shift is not None:
+            self.schedule_shift = float(self.schedule_shift)
+            if self.schedule_shift <= 0.0:
+                raise ValueError("LTDConfig.schedule_shift must be > 0, "
+                                 f"got {self.schedule_shift}")
+            if self.schedule_shift == 1.0:  # identity — normalize to off
+                self.schedule_shift = None
         if self.consistency:
+            if self.schedule_shift is not None:
+                raise ValueError(
+                    "LTDConfig.schedule_shift selects the ODE solver "
+                    "grid; it does not apply to a consistency "
+                    "deployment (fresh-noise multistep sampling)")
             if pipeline_fn is not None:
                 raise ValueError("consistency=True does not compose with "
                                  "pipeline_parallel sampling")
@@ -420,6 +435,11 @@ class DiffusionTransformer:
                                  "assumes the DDIM/DPM scan body; it "
                                  "excludes consistency sampling")
             extra = dict(fresh_noise=True, use_ddpm_plus=False)
+        if schedule_shift is None:
+            # deployment default (LTDConfig.schedule_shift); per-call
+            # values override. Resolved AFTER the consistency check —
+            # a consistency config with a shift is rejected at init.
+            schedule_shift = self.schedule_shift
         # output="uint8" quantizes on device (same math as the float
         # path + to_pil) so only H*W*3 bytes per image leave the chip
         out, _ = self.diffuser.generate(

@@ -463,6 +463,12 @@ class MicroBatcher:
             sampler=sampler,
             schedule=schedule,
             cfg_rescale=cfg_rescale,
+            # deployment-level grid shift (LTDConfig.schedule_shift):
+            # the solo path applies it in generate_array_from_text (t2i
+            # ONLY — editing keeps the reference grid), so the batched
+            # scan must mirror that split for batched == solo
+            schedule_shift=(getattr(tr, "schedule_shift", None)
+                            if kind == "t2i" else None),
             init_latents=(None if inits is None
                           else jnp.asarray(np.concatenate(inits, axis=0))),
             strength=1.0 if strength is None else strength,
